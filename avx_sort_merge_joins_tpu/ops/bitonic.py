@@ -1,0 +1,155 @@
+"""Bitonic compare-exchange networks over VMEM tiles.
+
+The TPU-native analog of the reference's register-level bitonic macros
+(reference: src/avxsort/avxcommon.h BITONIC4/8/16, avxsort_core.h
+inregister_sort_keyval32): key/payload column pairs laid out as row-major
+``(R, 128)`` int32 tiles (flat element i lives at ``(i // 128, i % 128)``).
+
+* lane-distance exchanges (d < 128) use hardware lane rotates
+  (``pltpu.roll``) — the analog of AVX shuffles,
+* sublane/row-distance exchanges (d >= 128) use sublane reshapes,
+* directions are encoded as boolean masks so ascending/descending networks
+  (needed for the reversal-free alternating-run merge sort) cost the same.
+
+All functions are pure jnp/pallas-compatible and usable both inside Pallas
+kernels and under interpret mode on CPU.
+
+Keys compare lexicographically as (key, payload), matching the reference's
+single int64 compare of {key hi32, payload lo32} tuples (src/types.h:48-54)
+for non-negative payloads.  INT32_MAX / INT32_MIN are reserved as +inf/-inf
+padding sentinels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+KEY_POS_INF = np.int32(2**31 - 1)
+KEY_NEG_INF = np.int32(-(2**31))
+
+
+def _roll(x, shift, axis):
+    """Lane/sublane rotate that works both compiled (Mosaic) and interpreted.
+    Both pltpu.roll and jnp.roll use out[i] = x[i - shift]."""
+    if jax.default_backend() == "tpu":
+        return pltpu.roll(x, shift, axis)
+    return jnp.roll(x, shift, axis)
+
+
+def lex_lt_le(ka, pa, kb, pb):
+    """(a < b, a <= b) for (key, payload) lexicographic order."""
+    keq = ka == kb
+    klt = ka < kb
+    lt = klt | (keq & (pa < pb))
+    le = klt | (keq & (pa <= pb))
+    return lt, le
+
+
+def flat_index(shape):
+    """Flat element index of a row-major (R, 128) tile."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row * LANES + lane
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def cmpex(k, p, d, asc):
+    """One compare-exchange substage at flat distance d (power of two).
+
+    ``asc`` is a boolean array broadcastable to k.shape (True = the element
+    pair containing this position sorts ascending).  Pairs are (i, i+d) for
+    i with bit d clear, as in the textbook bitonic network.
+    """
+    if d < LANES:
+        lane = _lane_iota(k.shape)
+        lo = (lane & d) == 0
+        kv_up = _roll(k, LANES - d, 1)  # value from lane+d
+        pv_up = _roll(p, LANES - d, 1)
+        kv_dn = _roll(k, d, 1)          # value from lane-d
+        pv_dn = _roll(p, d, 1)
+        kv = jnp.where(lo, kv_up, kv_dn)
+        pv = jnp.where(lo, pv_up, pv_dn)
+        lt, le = lex_lt_le(k, p, kv, pv)
+        role_lo = jnp.logical_not(jnp.logical_xor(lo, asc))
+        keep = (role_lo & le) | (jnp.logical_not(role_lo) & jnp.logical_not(lt))
+        return jnp.where(keep, k, kv), jnp.where(keep, p, pv)
+
+    dr = d // LANES
+    r = k.shape[0]
+    shape4 = (r // (2 * dr), 2, dr, LANES)
+    k3 = k.reshape(shape4)
+    p3 = p.reshape(shape4)
+    if isinstance(asc, bool):
+        asc0 = asc
+    else:
+        asc0 = asc.reshape(shape4)[:, 0]
+    _, le01 = lex_lt_le(k3[:, 0], p3[:, 0], k3[:, 1], p3[:, 1])
+    # keep element 0 in the low slot iff (e0 <= e1) == ascending
+    c0 = jnp.logical_not(jnp.logical_xor(le01, asc0))
+    k_lo = jnp.where(c0, k3[:, 0], k3[:, 1])
+    p_lo = jnp.where(c0, p3[:, 0], p3[:, 1])
+    k_hi = jnp.where(c0, k3[:, 1], k3[:, 0])
+    p_hi = jnp.where(c0, p3[:, 1], p3[:, 0])
+    k = jnp.concatenate([k_lo[:, None], k_hi[:, None]], axis=1).reshape(r, LANES)
+    p = jnp.concatenate([p_lo[:, None], p_hi[:, None]], axis=1).reshape(r, LANES)
+    return k, p
+
+
+def bitonic_merge(k, p, ascending=True):
+    """Merge a bitonic (R,128) flat sequence into sorted order.
+
+    log2(n)+1 compare-exchange substages, uniform direction — the analog of
+    the reference's BITONIC_MERGE4/8/16 register trees (avxcommon.h:126-183).
+    """
+    n = k.shape[0] * LANES
+    d = n // 2
+    while d >= 1:
+        k, p = cmpex(k, p, d, ascending)
+        d //= 2
+    return k, p
+
+
+def bitonic_sort(k, p, descending):
+    """Full bitonic sort network on a flat (R,128) tile.
+
+    ``descending`` may be a traced bool scalar: direction masks are XOR'd
+    with it, so alternating-direction blocks (even blocks ascending, odd
+    descending) are free — this replaces the reference's separate
+    ascending-only networks + explicit REVERSE lane reversals
+    (avxcommon.h:69-75).
+    """
+    n = k.shape[0] * LANES
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "tile size must be a power of two"
+    idx = flat_index(k.shape)
+    for kk in range(1, logn + 1):
+        asc = ((idx >> kk) & 1) == 0
+        asc = jnp.logical_xor(asc, descending)
+        d = 1 << (kk - 1)
+        while d >= 1:
+            k, p = cmpex(k, p, d, asc)
+            d //= 2
+    return k, p
+
+
+def shift_flat(x, s):
+    """Left-shift a row-major (R,128) tile by s in [0,128) flat elements:
+    out flat[i] = x flat[i + s]; the trailing s elements are garbage
+    (callers mask them).  Used to align DMA'd 128-aligned windows to
+    element-granular stream cursors."""
+    r = x.shape[0]
+    lane = _lane_iota(x.shape)
+    sh = jnp.mod(LANES - s, LANES)
+    ys = _roll(x, sh, 1)               # lane left-rotate by s
+    xr1 = _roll(x, r - 1, 0)           # rows shifted up by one
+    yb = _roll(xr1, sh, 1)
+    return jnp.where(lane < LANES - s, ys, yb)

@@ -1,0 +1,332 @@
+"""Out-of-cache sort: Pallas block sort + streaming merge passes.
+
+The TPU-native redesign of the reference's avxsort operator
+(reference: src/avxsort/avxsort.c — L2-block sort then pairwise
+merge16_varlen passes, avxsort.c:86-200):
+
+* ``sort_blocks`` — one Pallas program bitonic-sorts a VMEM-resident block
+  of BLOCK_ROWS*128 tuples (the analog of avxsort_block's 16K-tuple L2
+  blocks, avxsort.c:16-18).  Blocks alternate ascending/descending by block
+  index so that every later merge consumes an (asc, desc) pair — a bitonic
+  concatenation — with **no reversal step anywhere** (the reference instead
+  pays explicit REVERSE shuffles, avxcommon.h:69-75).
+* ``merge_pass`` — one Pallas program merges one (asc, desc) run pair into
+  a run of twice the length, streaming through VMEM windows: per output
+  tile of T tuples it DMAs one T+128-element window from each run's
+  consuming end, aligns them to the element-granular cursors with dynamic
+  lane rotates, takes the lower/upper half of the first bitonic stage, and
+  finishes with a log2(T)-stage bitonic merge.  Cursor advancement uses the
+  merge-path identity consumed_a = |{i : A[i] <= B_window[i]}| so the
+  kernel needs no host-side split computation and no gathers.  Runs may
+  have arbitrary ("varlen") logical lengths — the analog of
+  merge16_varlen (avxsort_core.h:904-1056) — with INT32_MAX/MIN sentinels
+  standing in for the reference's masked tails.
+* ``sort`` — the composition, plus ``sort_xla`` (jax.lax.sort) as the
+  "scalar sort" correctness/perf baseline (reference: src/scalarsort/).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bitonic
+from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
+
+BLOCK_ROWS_DEFAULT = 128  # 16384 tuples per block-sort program
+TILE_ROWS_DEFAULT = 128   # 16384 tuples per merge output tile (best measured DMA/compute balance)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# block sort
+# --------------------------------------------------------------------------
+
+def _block_sort_kernel(k_ref, p_ref, ok_ref, op_ref, *, alternating: bool,
+                       flip: bool):
+    if alternating:
+        desc = jnp.logical_xor((pl.program_id(0) % 2) == 1, flip)
+    else:
+        desc = flip
+    k, p = bitonic.bitonic_sort(k_ref[:], p_ref[:], desc)
+    ok_ref[:] = k
+    op_ref[:] = p
+
+
+def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
+                flip: bool = False):
+    """Sort each block of block_rows*128 tuples; even blocks ascending, odd
+    descending (when alternating); ``flip`` mirrors every direction (for
+    descending full sorts)."""
+    rows = keys2d.shape[0]
+    assert rows % block_rows == 0
+    nblocks = rows // block_rows
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_sort_kernel, alternating=alternating,
+                          flip=flip),
+        out_shape=(
+            jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+            jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
+        ),
+        grid=(nblocks,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(keys2d, payloads2d)
+
+
+# --------------------------------------------------------------------------
+# merge pass
+# --------------------------------------------------------------------------
+
+def _merge_pair_body(
+    j, lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
+    wak, wap, wbk, wbp, rk, rp, insem, outsem,
+    *, stride_rows: int, tile_rows: int, ascending: bool, swap: bool = False,
+):
+    """Merge run pair (2j, 2j+1) in direction `ascending` (static).
+
+    The body consumes stream A as the ascending run and B as the descending
+    run; under a flipped (mirrored) sort the pair layout is (desc, asc), so
+    ``swap`` exchanges the roles."""
+    T = tile_rows * LANES
+    ia = 2 * j + (1 if swap else 0)
+    ib = 2 * j + (0 if swap else 1)
+    la = lens_ref[ia]
+    lb = lens_ref[ib]
+    base_a = ia * stride_rows             # rows (ascending run)
+    base_b = ib * stride_rows             # rows (descending run)
+    out_base = 2 * j * stride_rows
+    ntiles = (la + lb + T - 1) // T
+    fidx = bitonic.flat_index((tile_rows, LANES))
+
+    def load(dst, src_hbm, row, sem):
+        # DMA lengths must be whole sublane tiles (multiples of 8 rows);
+        # unaligned start rows are fine.
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(row, tile_rows + 8), :], dst, sem
+        )
+        cp.start()
+        return cp
+
+    def tile_body(t, carry):
+        ea, eb = carry
+        if ascending:
+            # A consumed from its front (smallest first), B (desc) from its back
+            a_elem = base_a * LANES + ea
+            b_start = base_b * LANES + lb - eb - T
+        else:
+            # A (asc) consumed from its back (largest first), B from its front
+            a_elem = base_a * LANES + la - ea - T
+            b_start = base_b * LANES + eb
+        car, skip_a = a_elem // LANES, a_elem % LANES
+        cbr, skip_b = b_start // LANES, b_start % LANES
+        d1 = load(wak, k_hbm, car, insem.at[0])
+        d2 = load(wap, p_hbm, car, insem.at[1])
+        d3 = load(wbk, k_hbm, cbr, insem.at[2])
+        d4 = load(wbp, p_hbm, cbr, insem.at[3])
+        d1.wait(); d2.wait(); d3.wait(); d4.wait()
+
+        ak = bitonic.shift_flat(wak[:], skip_a)[:tile_rows]
+        ap = bitonic.shift_flat(wap[:], skip_a)[:tile_rows]
+        bk = bitonic.shift_flat(wbk[:], skip_b)[:tile_rows]
+        bp = bitonic.shift_flat(wbp[:], skip_b)[:tile_rows]
+
+        avail_a = la - ea
+        avail_b = lb - eb
+        if ascending:
+            # invalid tails lose the min selection
+            ak = jnp.where(fidx >= avail_a, KEY_POS_INF, ak)
+            ap = jnp.where(fidx >= avail_a, KEY_POS_INF, ap)
+            bk = jnp.where(fidx < T - avail_b, KEY_POS_INF, bk)
+            bp = jnp.where(fidx < T - avail_b, KEY_POS_INF, bp)
+            # first bitonic stage of concat(A asc, B desc): lower half
+            _, le = bitonic.lex_lt_le(ak, ap, bk, bp)
+            hk = jnp.where(le, ak, bk)
+            hp = jnp.where(le, ap, bp)
+            consumed_a = jnp.sum(le.astype(jnp.int32))
+        else:
+            # invalid heads lose the max selection
+            ak = jnp.where(fidx < T - avail_a, KEY_NEG_INF, ak)
+            ap = jnp.where(fidx < T - avail_a, KEY_NEG_INF, ap)
+            bk = jnp.where(fidx >= avail_b, KEY_NEG_INF, bk)
+            bp = jnp.where(fidx >= avail_b, KEY_NEG_INF, bp)
+            # first bitonic stage of concat(A asc, B desc): upper half
+            lt, _ = bitonic.lex_lt_le(ak, ap, bk, bp)
+            keep_a = jnp.logical_not(lt)  # a >= b
+            hk = jnp.where(keep_a, ak, bk)
+            hp = jnp.where(keep_a, ap, bp)
+            consumed_a = jnp.sum(keep_a.astype(jnp.int32))
+
+        mk, mp = bitonic.bitonic_merge(hk, hp, ascending=ascending)
+        rk[:] = mk
+        rp[:] = mp
+        orow = out_base + t * tile_rows
+        o1 = pltpu.make_async_copy(rk, ok_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[0])
+        o2 = pltpu.make_async_copy(rp, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
+        o1.start(); o2.start()
+        o1.wait(); o2.wait()
+        return ea + consumed_a, eb + (T - consumed_a)
+
+    jax.lax.fori_loop(0, ntiles, tile_body, (jnp.int32(0), jnp.int32(0)))
+
+
+def _merge_pass_kernel(lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
+                       wak, wap, wbk, wbp, rk, rp, insem, outsem,
+                       *, stride_rows: int, tile_rows: int, flip: bool):
+    j = pl.program_id(0)
+    args = (j, lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
+            wak, wap, wbk, wbp, rk, rp, insem, outsem)
+    # output run j sorts ascending iff (j even) XOR flip; under flip the
+    # input pair is (desc, asc) so the A/B roles swap.
+    even = (j % 2 == 0) if not flip else (j % 2 == 1)
+
+    @pl.when(even)
+    def _():
+        _merge_pair_body(*args, stride_rows=stride_rows, tile_rows=tile_rows,
+                         ascending=True, swap=flip)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        _merge_pair_body(*args, stride_rows=stride_rows, tile_rows=tile_rows,
+                         ascending=False, swap=flip)
+
+
+def merge_pass(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
+               tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False):
+    """One pass of pairwise (asc, desc) -> alternating-direction run merges.
+
+    ``lens`` are the logical run lengths in tuples (static Python ints);
+    run i occupies rows [i*stride_rows, (i+1)*stride_rows).  Returns the new
+    (keys, payloads) arrays and the merged lens list.
+    """
+    lens = list(lens)
+    if len(lens) % 2 == 1:
+        lens.append(0)
+    npairs = len(lens) // 2
+    lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
+    ok, op = pl.pallas_call(
+        functools.partial(_merge_pass_kernel, stride_rows=stride_rows,
+                          tile_rows=tile_rows, flip=flip),
+        out_shape=(
+            jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+            jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
+        ),
+        grid=(npairs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lens_arr, keys2d, payloads2d)
+    new_lens = [lens[2 * i] + lens[2 * i + 1] for i in range(npairs)]
+    return ok, op, new_lens
+
+
+# --------------------------------------------------------------------------
+# composition
+# --------------------------------------------------------------------------
+
+def padded_rows(n: int, block_rows: int = BLOCK_ROWS_DEFAULT,
+                tile_rows: int = TILE_ROWS_DEFAULT) -> int:
+    """Device rows needed to sort n tuples (one spare window tile at the end
+    for the +1-row DMA overreach of the merge kernel)."""
+    nblocks = max(1, cdiv(n, block_rows * LANES))
+    return nblocks * block_rows + tile_rows + 8
+
+
+def prepare(keys, payloads, n: int, block_rows: int = BLOCK_ROWS_DEFAULT,
+            tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False):
+    """Pad/reshape 1D columns to the sort's (rows, 128) layout.
+
+    Padding keys take the sentinel that sorts to the junk end of the last
+    block given its direction (+inf for ascending even blocks, -inf for
+    descending odd blocks; mirrored when flip)."""
+    rows = padded_rows(n, block_rows, tile_rows)
+    nblocks = max(1, cdiv(n, block_rows * LANES))
+    last_desc = ((nblocks - 1) % 2 == 1) != flip
+    sent = KEY_NEG_INF if last_desc else KEY_POS_INF
+    cap = rows * LANES
+    k = jnp.full((cap,), sent, jnp.int32).at[:n].set(keys[:n])
+    p = jnp.full((cap,), sent, jnp.int32).at[:n].set(payloads[:n])
+    return k.reshape(rows, LANES), p.reshape(rows, LANES)
+
+
+def sort2d(keys2d, payloads2d, n: int, block_rows: int = BLOCK_ROWS_DEFAULT,
+           tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False):
+    """Sort n logical tuples living in prepare()-layout 2D columns.
+
+    Returns (keys2d, payloads2d) with rows [0, ceil(n/128)) sorted (ascending,
+    or descending when flip) in flat row-major order (junk beyond n).
+    """
+    nblocks = max(1, cdiv(n, block_rows * LANES))
+    sort_rows = nblocks * block_rows
+    ks = keys2d[:sort_rows]
+    ps = payloads2d[:sort_rows]
+    ks, ps = sort_blocks(ks, ps, block_rows, alternating=nblocks > 1, flip=flip)
+    lens = [block_rows * LANES] * nblocks
+    lens[-1] = n - (nblocks - 1) * block_rows * LANES
+    stride = block_rows
+    # merge kernel may read/write one spare tile past the last run
+    ks = jnp.concatenate([ks, keys2d[sort_rows:]], axis=0)
+    ps = jnp.concatenate([ps, payloads2d[sort_rows:]], axis=0)
+    while len(lens) > 1:
+        ks, ps, lens = merge_pass(ks, ps, lens, stride, tile_rows, flip=flip)
+        stride *= 2
+    return ks, ps
+
+
+def sort(keys, payloads, n: Optional[int] = None,
+         block_rows: int = BLOCK_ROWS_DEFAULT,
+         tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False):
+    """Sort 1D (keys, payloads) columns by (key, payload); returns 1D arrays
+    of length n.  The TPU analog of avxsort_tuples (avxsort.h:36-44)."""
+    if n is None:
+        n = int(keys.shape[0])
+    k2, p2 = prepare(keys, payloads, n, block_rows, tile_rows, flip=flip)
+    k2, p2 = sort2d(k2, p2, n, block_rows, tile_rows, flip=flip)
+    return k2.reshape(-1)[:n], p2.reshape(-1)[:n]
+
+
+def sort_descending(keys, payloads, n: Optional[int] = None,
+                    block_rows: int = BLOCK_ROWS_DEFAULT,
+                    tile_rows: int = TILE_ROWS_DEFAULT):
+    """Full descending sort (used for the S side of the tag-merge join)."""
+    return sort(keys, payloads, n, block_rows, tile_rows, flip=True)
+
+
+def sort_xla(keys, payloads):
+    """Baseline via XLA's comparison sort — the 'scalarsort' analog
+    (reference: src/scalarsort/scalarsort.c)."""
+    return jax.lax.sort((keys, payloads), num_keys=2)

@@ -8,10 +8,15 @@ paths), mirroring the reference's `make check` property-test strategy
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sitecustomize imports jax and pins the axon TPU backend before any env var
+# we set here could matter, so force the platform via the config API.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
