@@ -1,0 +1,95 @@
+"""Cross-chip partition + exchange of relation shards.
+
+The TPU-native replacement for the reference's `threadrelchunks` shared
+exchange matrix, through which every thread reads every other thread's
+sorted runs during the merge phase (reference: src/joins/joincommon.h:129,
+writes sortmergejoin_multiway.c:423-453, remote reads :504-518).  On TPU the
+exchange is an ICI ``all_to_all``: each chip range-partitions its local
+shard into one bucket per destination chip, and the collective delivers to
+every chip all tuples whose keys fall in its owned range.
+
+Padding discipline: buckets are padded to a static per-destination capacity
+(the analog of RELATION_PADDING/ALIGN_NUMTUPLES, reference: src/params.h:41-72);
+pad slots carry sentinel keys that can never match across R and S
+(R pads = +2^31-1, S pads = -2^31; generated keys lie in [0, 2^31-2]).
+Bucket overflow (possible under extreme skew with insufficient slack) is
+detected and reported, never silently dropped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+R_PAD_KEY = jnp.int32(2**31 - 1)
+S_PAD_KEY = jnp.int32(-(2**31))
+
+
+def dest_of_keys(keys, n_buckets: int, minkey, maxkey):
+    """Range-partition bucket of each key: floor((k - minkey) * B / span).
+
+    The distributed analog of the reference's top-bits radix partition with
+    bitshift chosen from the key range (sortmergejoin_multiway.c:372-376) —
+    range partitioning generalizes it to non-power-of-two key spaces.
+    """
+    span = jnp.maximum((maxkey - minkey + 1).astype(jnp.int64), 1)
+    rel = (keys.astype(jnp.int64) - minkey.astype(jnp.int64)) * n_buckets
+    d = (rel // span).astype(jnp.int32)
+    return jnp.clip(d, 0, n_buckets - 1)
+
+
+def bucketize_by(dest, keys, payloads, n_valid, n_buckets: int, cap: int,
+                 pad_key):
+    """Group a local shard into ``n_buckets`` padded buckets of ``cap`` slots.
+
+    ``keys``/``payloads`` are 1-D local arrays whose first ``n_valid``
+    (traced scalar) entries are live; ``dest`` gives each tuple's bucket
+    (computed by the caller so the same routine serves range- and
+    radix-destinations).
+
+    Returns ``(bkeys, bpayloads, counts, overflow)`` where ``bkeys`` has
+    shape ``(n_buckets * cap,)`` with bucket d in slots
+    [d*cap, d*cap+counts[d]) and sentinel ``pad_key`` elsewhere; ``overflow``
+    counts tuples that did not fit (0 under adequate slack).
+    """
+    n = keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
+    dest = jnp.where(valid, dest, n_buckets)  # invalid → virtual bucket B
+    # stable grouping by destination
+    dsort, ksort, psort = jax.lax.sort((dest, keys, payloads), num_keys=1)
+    counts_all = jnp.sum(
+        dsort[None, :] == jnp.arange(n_buckets + 1, dtype=jnp.int32)[:, None],
+        axis=1, dtype=jnp.int32,
+    )
+    counts = counts_all[:n_buckets]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_all)[:-1].astype(jnp.int32)]
+    )
+    within = idx - offsets[dsort]
+    fits = (within < cap) & (dsort < n_buckets)
+    target = jnp.where(fits, dsort * cap + within, n_buckets * cap)
+    bk = jnp.full((n_buckets * cap,), pad_key, keys.dtype)
+    bp = jnp.zeros((n_buckets * cap,), payloads.dtype)
+    bk = bk.at[target].set(ksort, mode="drop")
+    bp = bp.at[target].set(psort, mode="drop")
+    overflow = jnp.sum(((within >= cap) & (dsort < n_buckets)).astype(jnp.int32))
+    return bk, bp, jnp.minimum(counts, cap), overflow
+
+
+def exchange(bkeys, bpayloads, counts, axis_name: str, n_buckets: int, cap: int):
+    """All-to-all the padded buckets: bucket d of chip s lands on chip d.
+
+    Returns the received ``(keys, payloads, counts)`` — ``counts[s]`` is how
+    many live tuples chip s sent us (received run s occupies
+    slots [s*cap, s*cap + counts[s])).  This is the ICI realization of the
+    reference's cross-NUMA remote reads of threadrelchunks
+    (sortmergejoin_multiway.c:504-518).
+    """
+    rk = jax.lax.all_to_all(bkeys, axis_name, split_axis=0, concat_axis=0,
+                            tiled=True)
+    rp = jax.lax.all_to_all(bpayloads, axis_name, split_axis=0, concat_axis=0,
+                            tiled=True)
+    rc = jax.lax.all_to_all(counts, axis_name, split_axis=0, concat_axis=0,
+                            tiled=True)
+    return rk, rp, rc

@@ -1,0 +1,74 @@
+"""Device-mesh construction and exchange-scheduling strategies.
+
+The TPU-native replacement for the reference's CPU/NUMA topology layer
+(reference: src/util/cpu_mapping.c — logical→physical thread maps, NUMA
+region queries) and its NUMA shuffle strategies
+(reference: src/util/numa_shuffle.c:55-85).  Threads become mesh devices;
+"NUMA region" becomes the host a chip belongs to; the shuffle order becomes
+the schedule of collective-permute rounds of the sorted-run exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..types import NumaStrategy
+
+AXIS = "chips"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the first ``n_devices`` available devices — the analog
+    of cpu_mapping_init's identity thread map (cpu_mapping.c:178-193)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading axis over the mesh (per-chip shard = the reference's
+    NUMA-local chunk, generator.c:352-404)."""
+    return NamedSharding(mesh, P(AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shuffle_order(strategy: str, n: int, chips_per_host: int = 4,
+                  seed: int = 12345) -> np.ndarray:
+    """Visit order offsets for the exchange rounds: round i of device ``d``
+    touches partner ``(d + order[i]) % n``.
+
+    Mirrors the reference strategies (numa_shuffle.c:55-85):
+      NEXT   — neighbours first: offsets 0,1,2,…  (get_numa_shuffle_strategy
+               NEXT, numa_shuffle.c:83),
+      RING   — stride by the chips-per-host count so consecutive rounds hit
+               different hosts (numa_shuffle.c:80),
+      RANDOM — a seeded permutation (numa_shuffle.c:29-37,58-59).
+    """
+    if strategy == NumaStrategy.NEXT:
+        return np.arange(n, dtype=np.int32)
+    if strategy == NumaStrategy.RING:
+        step = max(1, chips_per_host)
+        offs = [(i * step + i // max(1, n // step)) % n for i in range(n)]
+        # de-duplicate while preserving order; fill any gaps at the end
+        seen, order = set(), []
+        for o in offs:
+            if o not in seen:
+                seen.add(o)
+                order.append(o)
+        for o in range(n):
+            if o not in seen:
+                order.append(o)
+        return np.asarray(order, dtype=np.int32)
+    if strategy == NumaStrategy.RANDOM:
+        rng = np.random.default_rng(seed)
+        return rng.permutation(n).astype(np.int32)
+    raise ValueError(f"unknown shuffle strategy {strategy!r}")

@@ -1,0 +1,113 @@
+"""Headline benchmark: m-pass sort-merge join throughput on one TPU chip.
+
+Workload B of the reference (Kim et al.): R ⋈ S with R unique keys 1..|R|
+and S a foreign-key relation over R (reference: README:246-258,
+src/main.c:471-473; default |R| = |S| = 128·10⁶ 8-byte tuples).  The
+reference publishes no absolute numbers (BASELINE.md), so ``vs_baseline``
+reports our Pallas engine against the same-chip XLA ``lax.sort`` join — the
+analog of the reference's AVX-vs-scalar comparison
+(scripts/tput-scalability.sh:47-60).
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "Mtuples/s", "vs_baseline": N}
+
+Env knobs: SMJ_BENCH_NTUPLES (default 128000000), SMJ_BENCH_REPS (3),
+SMJ_BENCH_SKIP_BASELINE=1 to skip the XLA baseline timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _gen_workload(n: int):
+    rng = np.random.default_rng(42)
+    rk = rng.permutation(np.arange(1, n + 1, dtype=np.int64)).astype(np.int32)
+    # |S| = |R| fk relation = an independent permutation of the key domain
+    # (create_relation_fk with one full block, generator.c:407-445)
+    sk = rng.permutation(np.arange(1, n + 1, dtype=np.int64)).astype(np.int32)
+    rp = np.arange(5, 5 + n, dtype=np.int32)
+    sp = np.arange(5, 5 + n, dtype=np.int32)
+    return rk, rp, sk, sp
+
+
+def _time_best(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from avx_sort_merge_joins_tpu.ops import mergejoin
+    from avx_sort_merge_joins_tpu.ops import sort as sort_ops
+
+    n = int(os.environ.get("SMJ_BENCH_NTUPLES", 128_000_000))
+    reps = int(os.environ.get("SMJ_BENCH_REPS", 3))
+    skip_base = os.environ.get("SMJ_BENCH_SKIP_BASELINE", "0") == "1"
+    total = 2 * n
+
+    print(f"[bench] backend={jax.default_backend()} n={n}", file=sys.stderr)
+    rk, rp, sk, sp = _gen_workload(n)
+    rk_d, rp_d = jnp.asarray(rk), jnp.asarray(rp)
+    sk_d, sp_d = jnp.asarray(sk), jnp.asarray(sp)
+
+    @jax.jit
+    def mpass(rk, rp, sk, sp):
+        rks, rps = sort_ops.sort(rk, rp, n)
+        sks, sps = sort_ops.sort_descending(sk, sp, n)
+        return mergejoin.merge_join_count(rks, sks, n, n)
+
+    def run():
+        stats = mpass(rk_d, rp_d, sk_d, sp_d)
+        jax.block_until_ready(stats)
+        return stats
+
+    t0 = time.perf_counter()
+    stats = run()  # compile + warmup
+    print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    matches = mergejoin.finish_count(stats)
+    assert matches == n, f"match count {matches} != |S| = {n}"
+
+    secs = _time_best(run, reps)
+    tput = total / secs / 1e6
+    print(f"[bench] m-pass join: {secs:.3f}s  {tput:.1f} Mtuples/s", file=sys.stderr)
+
+    vs = 0.0
+    if not skip_base:
+        @jax.jit
+        def xla_join(rk, sk):
+            rks, _ = jax.lax.sort((rk, jnp.zeros_like(rk)), num_keys=1)
+            sks, _ = jax.lax.sort((sk, jnp.zeros_like(sk)), num_keys=1)
+            return mergejoin.merge_join_count_xla(rks, sks, n, n)
+
+        def run_base():
+            jax.block_until_ready(xla_join(rk_d, sk_d))
+
+        run_base()  # compile
+        base_secs = _time_best(run_base, max(1, reps - 1))
+        base_tput = total / base_secs / 1e6
+        print(f"[bench] XLA-sort join baseline: {base_secs:.3f}s  "
+              f"{base_tput:.1f} Mtuples/s", file=sys.stderr)
+        vs = tput / base_tput
+
+    print(json.dumps({
+        "metric": f"mpass_join_throughput_{n}x{n}",
+        "value": round(tput, 2),
+        "unit": "Mtuples/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
