@@ -141,6 +141,35 @@ def bitonic_sort(k, p, descending):
     return k, p
 
 
+def flip_flat(x):
+    """Full flat reversal of a row-major (R,128) tile: out[i] = x[N-1-i].
+
+    The REVERSE analog (avxcommon.h:69-75).  Mosaic has no `rev`
+    primitive, but N-1-i = XOR of every index bit, and an XOR-with-bit-b
+    exchange is two rotates and a select — log2(N) such stages compose the
+    reversal (lane bits via lane rolls, row bits via sublane rolls).
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.flip(x, (0, 1))
+    r = x.shape[0]
+    assert r & (r - 1) == 0, "flip_flat needs a power-of-two row count"
+    lane = _lane_iota(x.shape)
+    b = 1
+    while b < LANES:
+        up = pltpu.roll(x, LANES - b, 1)  # x[lane+b]
+        dn = pltpu.roll(x, b, 1)          # x[lane-b]
+        x = jnp.where((lane & b) == 0, up, dn)
+        b *= 2
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    b = 1
+    while b < r:
+        up = pltpu.roll(x, r - b, 0)
+        dn = pltpu.roll(x, b, 0)
+        x = jnp.where((row & b) == 0, up, dn)
+        b *= 2
+    return x
+
+
 def shift_flat(x, s):
     """Left-shift a row-major (R,128) tile by s in [0,128) flat elements:
     out flat[i] = x flat[i + s]; the trailing s elements are garbage

@@ -109,6 +109,44 @@ def finish_count(stats, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT) -> int:
     return _combine_host(cb, sb, tile_rows) - _combine_host(ca, sa, tile_rows)
 
 
+def _tag_merge_mw(rk, sk, nR: int, nS: int, tile_rows: int, r_flag: int,
+                  s_flag: int):
+    """Tag-merge via the 2-way FIFO-tree kernel: both inputs ascending
+    (as produced by multiway_sort), flags ride in the payload slot and
+    break ties."""
+    from . import multiwaymerge as mw
+
+    rows_r = sort_ops.cdiv(nR, LANES)
+    rows_s = sort_ops.cdiv(nS, LANES)
+    stride = ((max(rows_r, rows_s) + tile_rows) // tile_rows + 1) * tile_rows
+    cap_rows = 2 * stride + tile_rows + 8
+    cap = cap_rows * LANES
+    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
+    pf = jnp.zeros((cap,), jnp.int32)
+    kf = kf.at[:nR].set(rk[:nR])
+    pf = pf.at[:nR].set(jnp.int32(r_flag))
+    s0 = stride * LANES
+    kf = kf.at[s0:s0 + nS].set(sk[:nS])
+    pf = pf.at[s0:s0 + nS].set(jnp.int32(s_flag))
+    ok, of, _ = mw.multiway_merge(
+        kf.reshape(cap_rows, LANES), pf.reshape(cap_rows, LANES),
+        [nR, nS], stride, 2, tile_rows)
+    return ok, of
+
+
+def merge_join_count_asc(rk_sorted, sk_sorted, nR: int, nS: int,
+                         tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
+    """As :func:`merge_join_count` but with BOTH inputs ascending (the m-way
+    path, where runs come out of multiway_sort).  Same rank-reduction
+    identity; combine with :func:`finish_count`."""
+    total = nR + nS
+    mk, mf = _tag_merge_mw(rk_sorted, sk_sorted, nR, nS, tile_rows, 0, 1)
+    ca, sa = _position_stats(mf, total, 0, tile_rows)
+    mk2, mf2 = _tag_merge_mw(rk_sorted, sk_sorted, nR, nS, tile_rows, 1, 0)
+    cb, sb = _position_stats(mf2, total, 1, tile_rows)
+    return ca, sa, cb, sb
+
+
 def merge_join_count_xla(rk_sorted, sk_sorted, nR: int, nS: int) -> jnp.ndarray:
     """Oracle counter via one XLA sort of tagged keys + cumsum (exact for
     matches < 2^31).  Used in tests and as the 'scalar merge join'."""

@@ -1,0 +1,320 @@
+"""K-way merge of sorted runs through a VMEM-resident FIFO tree.
+
+The TPU redesign of the reference's cache-resident multi-way merge tree
+(reference: src/merge/avx_multiwaymerge.c — ring-buffer FIFO nodes carved
+out of a shared L3 buffer, heap-layout tree, half-full backpressure,
+merge16 bitonic kernels).  One Pallas program merges W sorted HBM runs into
+one output run while reading every element from HBM exactly once and
+writing it exactly once — this is what makes merging bandwidth-optimal vs
+log2(W) pairwise passes.
+
+Design mapping:
+
+* tree          — heap layout: internal nodes 0..W-2, leaves are the W
+                  input runs (node m's children are 2m+1, 2m+2; child index
+                  >= W-1 denotes input run child-(W-1)), mirroring the
+                  reference's node numbering (avx_multiwaymerge.c:285-287).
+* FIFO          — per internal node, a VMEM ring of C=2 output tiles plus a
+                  mirrored first tile so windows never wrap (the analog of
+                  the reference's modulo-free ring decomposition,
+                  avx_multiwaymerge.c:17-23,340-341).
+* merge kernel  — per fire, select the T smallest of the two children's
+                  T-element head windows with one elementwise min/max over
+                  A and lane/row-reversed B (a bitonic first stage), then a
+                  log2(T)-stage bitonic merge — the merge16kernel analog
+                  (avx_multiwaymerge.c:342-471).
+* backpressure  — a node fires when it has one tile of space and each child
+                  has a full window or is exhausted
+                  (avx_multiwaymerge.c:292-295's half-full rule).
+* schedule      — bottom-up static node sweep per round inside a fori_loop;
+                  after the log2(W)-round warmup the root emits one tile per
+                  round, so the trip count is static: rounds =
+                  ceil(N/T) + log2(W).
+
+Run lengths are dynamic (SMEM); capacities/strides are static.  Pad slots
+carry +inf sentinels and consumption clamping keeps counts exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bitonic
+from .bitonic import KEY_POS_INF, LANES
+from . import sort as sort_ops
+
+FIFO_TILES = 2  # ring capacity in output tiles (C)
+
+
+_flip = bitonic.flip_flat
+
+
+def _select_merge(ak, ap, bk, bp):
+    """Merge two ascending T-element windows: returns the sorted lower half
+    (k, p) and how many elements were consumed from A.
+
+    concat(A asc, reverse(B) desc) is bitonic; its first compare-exchange
+    stage at distance T is the elementwise lex-min of A and reverse(B), and
+    the A-side wins ties (le), matching the reference merge kernels' stream
+    preference.  A full bitonic merge then sorts the lower half ascending.
+    """
+    bk_r = _flip(bk)
+    bp_r = _flip(bp)
+    lt, le = bitonic.lex_lt_le(ak, ap, bk_r, bp_r)
+    hk = jnp.where(le, ak, bk_r)
+    hp = jnp.where(le, ap, bp_r)
+    consumed_a = jnp.sum(le.astype(jnp.int32))
+    mk, mp = bitonic.bitonic_merge(hk, hp, ascending=True)
+    return mk, mp, consumed_a
+
+
+def _mwaymerge_kernel(
+    lens_ref,            # SMEM (nruns,) int32 logical run lengths
+    k_hbm, p_hbm,        # ANY  (rows,128) inputs
+    ok_hbm, op_hbm,      # ANY  (rows,128) outputs
+    fk, fp,              # VMEM (nnodes, (C+1)*tile_rows, 128) FIFO rings
+    wk, wp,              # VMEM (tile_rows+8, 128) leaf DMA windows (keys/payloads)
+    wk2, wp2,            # VMEM second leaf window
+    rk_s, rp_s,          # VMEM (tile_rows,128) root output staging
+    insem, outsem,
+    *, fanin: int, stride_rows: int, tile_rows: int,
+):
+    W = fanin
+    nnodes = W - 1
+    T = tile_rows * LANES
+    CAP = FIFO_TILES * T
+    g = pl.program_id(0)
+    run0 = g * W
+
+    # leaf span: internal node m covers a contiguous range of runs; compute
+    # statically by walking the heap.
+    def leaf_span(m):
+        span = [m]
+        runs = []
+        while span:
+            c = span.pop()
+            if c >= nnodes:
+                runs.append(c - nnodes)
+            else:
+                span.append(2 * c + 1)
+                span.append(2 * c + 2)
+        return min(runs), max(runs)
+
+    sub_len = []
+    for m in range(nnodes):
+        lo, hi = leaf_span(m)
+        s = jnp.int32(0)
+        for r in range(lo, hi + 1):
+            s = s + lens_ref[run0 + r]
+        sub_len.append(s)
+
+    out_base_rows = run0 * stride_rows
+
+    def child_avail(c, produced, consumed):
+        """(available elements, ready?) of child c.  A run child is always
+        ready (fully materialized in HBM); a FIFO child is ready when it
+        holds a full window or has produced everything it ever will — the
+        reference's half-full/done backpressure rule
+        (avx_multiwaymerge.c:292-295)."""
+        if c >= nnodes:  # an input run: always fully produced
+            ln = lens_ref[run0 + c - nnodes]
+            return ln - consumed[c], jnp.bool_(True)
+        avail = produced[c] - consumed[c]
+        return avail, (avail >= T) | (produced[c] >= sub_len[c])
+
+    def load_child_window(c, consumed, wkbuf, wpbuf):
+        """Return (keys, payloads) ascending T-window of child c's head,
+        masked with +inf beyond the available count."""
+        if c >= nnodes:
+            run = c - nnodes
+            e = consumed[c]
+            elem = (run0 + run) * stride_rows * LANES + e
+            row, skip = elem // LANES, elem % LANES
+            cp1 = pltpu.make_async_copy(
+                k_hbm.at[pl.ds(row, tile_rows + 8), :], wkbuf, insem.at[0])
+            cp2 = pltpu.make_async_copy(
+                p_hbm.at[pl.ds(row, tile_rows + 8), :], wpbuf, insem.at[1])
+            cp1.start(); cp2.start(); cp1.wait(); cp2.wait()
+            k = bitonic.shift_flat(wkbuf[:], skip)[:tile_rows]
+            p = bitonic.shift_flat(wpbuf[:], skip)[:tile_rows]
+        else:
+            e = consumed[c]
+            pos = jnp.remainder(e, CAP)
+            row, skip = pos // LANES, pos % LANES
+            kwin = fk[c, pl.ds(row, tile_rows + 1), :]
+            pwin = fp[c, pl.ds(row, tile_rows + 1), :]
+            k = bitonic.shift_flat(kwin, skip)[:tile_rows]
+            p = bitonic.shift_flat(pwin, skip)[:tile_rows]
+        return k, p
+
+    def mask_invalid(k, p, avail):
+        fidx = bitonic.flat_index(k.shape)
+        bad = fidx >= avail
+        return (jnp.where(bad, KEY_POS_INF, k),
+                jnp.where(bad, KEY_POS_INF, p))
+
+    def fire_node(m, produced, consumed):
+        cl, cr = 2 * m + 1, 2 * m + 2
+        avail_l, _ = child_avail(cl, produced, consumed)
+        avail_r, _ = child_avail(cr, produced, consumed)
+        ak, ap = load_child_window(cl, consumed, wk, wp)
+        bk, bp = load_child_window(cr, consumed, wk2, wp2)
+        ak, ap = mask_invalid(ak, ap, avail_l)
+        bk, bp = mask_invalid(bk, bp, avail_r)
+        mk, mp, cons_a = _select_merge(ak, ap, bk, bp)
+        inc_l = jnp.minimum(cons_a, avail_l)
+        inc_r = jnp.minimum(T - cons_a, avail_r)
+        if m == 0:
+            # root: stage and DMA to the output HBM region
+            rk_s[:] = mk
+            rp_s[:] = mp
+            orow = out_base_rows + (produced[0] // LANES)
+            o1 = pltpu.make_async_copy(
+                rk_s, ok_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[0])
+            o2 = pltpu.make_async_copy(
+                rp_s, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
+            o1.start(); o2.start(); o1.wait(); o2.wait()
+        else:
+            slot = jnp.remainder(produced[m] // T, FIFO_TILES)
+            row = slot * tile_rows
+            fk[m, pl.ds(row, tile_rows), :] = mk
+            fp[m, pl.ds(row, tile_rows), :] = mp
+            # mirror tile 0 so element-granular windows never wrap
+
+            @pl.when(slot == 0)
+            def _():
+                fk[m, pl.ds(FIFO_TILES * tile_rows, tile_rows), :] = mk
+                fp[m, pl.ds(FIFO_TILES * tile_rows, tile_rows), :] = mp
+
+        inc_out = jnp.minimum(jnp.int32(T), sub_len[m] - produced[m])
+        # state lives as tuples of scalars (SREGs) — all indices are static
+        produced = tuple(
+            p + inc_out if i == m else p for i, p in enumerate(produced))
+        consumed = tuple(
+            c + inc_l if i == cl else (c + inc_r if i == cr else c)
+            for i, c in enumerate(consumed))
+        return produced, consumed
+
+    def round_body(_, carry):
+        produced, consumed = carry
+        for m in range(nnodes - 1, -1, -1):
+            cl, cr = 2 * m + 1, 2 * m + 2
+            al, rl = child_avail(cl, produced, consumed)
+            ar, rr = child_avail(cr, produced, consumed)
+            ready = rl & rr
+            space = (produced[m] - consumed[m]) <= (FIFO_TILES - 1) * T \
+                if m != 0 else True
+            want = produced[m] < sub_len[m]
+            fire = ready & want & space
+
+            def do(c):
+                return fire_node(m, c[0], c[1])
+
+            def skip(c):
+                return c
+
+            produced, consumed = jax.lax.cond(fire, do, skip,
+                                              (produced, consumed))
+        return produced, consumed
+
+    logw = max(1, W - 1).bit_length()
+    # static worst-case trip count (dynamic early-exit via the fire guards)
+    max_rounds = (W * stride_rows * LANES + T - 1) // T + logw + 2
+    produced0 = tuple(jnp.int32(0) for _ in range(nnodes))
+    consumed0 = tuple(jnp.int32(0) for _ in range(2 * nnodes + 1))
+    jax.lax.fori_loop(0, max_rounds, round_body, (produced0, consumed0))
+
+
+def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
+                   fanin: int, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
+    """Merge groups of ``fanin`` consecutive ascending runs, each run i at
+    rows [i*stride_rows, ...) with logical length lens[i].
+
+    Returns (keys2d, payloads2d, new_lens): merged run g spans rows
+    [g*fanin*stride_rows, ...) with length sum(lens in group).  The analog of
+    avx_multiway_merge (avx_multiwaymerge.c:199-338).
+    """
+    lens = list(lens)
+    assert fanin >= 2 and (fanin & (fanin - 1)) == 0
+    assert stride_rows % tile_rows == 0, (
+        "group output region must be whole output tiles")
+    while len(lens) % fanin != 0:
+        lens.append(0)
+    ngroups = len(lens) // fanin
+    lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
+    nnodes = fanin - 1
+    ok, op = pl.pallas_call(
+        functools.partial(_mwaymerge_kernel, fanin=fanin,
+                          stride_rows=stride_rows, tile_rows=tile_rows),
+        out_shape=(
+            jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+            jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
+        ),
+        grid=(ngroups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32),
+            pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+            pltpu.VMEM((tile_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=sort_ops._interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lens_arr, keys2d, payloads2d)
+    new_lens = [sum(lens[g * fanin:(g + 1) * fanin]) for g in range(ngroups)]
+    return ok, op, new_lens
+
+
+def multiway_sort(keys, payloads, n: int | None = None,
+                  block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
+                  tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
+                  fanin: int = 16):
+    """Full sort via block sort + log_fanin(#blocks) multiway merge passes —
+    the analog of avxsortmultiway_tuples (avxsort_multiway.c:96-152), which
+    sorts cache-sized blocks then k-way-merges them in one pass instead of
+    log2 pairwise passes.  Returns 1-D (keys, payloads) of length n.
+    """
+    if n is None:
+        n = int(keys.shape[0])
+    rows = sort_ops.padded_rows(n, block_rows, tile_rows)
+    cap = rows * LANES
+    # all blocks sort ascending, so +inf pads sort to the junk end everywhere
+    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(keys[:n])
+    pf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(payloads[:n])
+    k2 = kf.reshape(rows, LANES)
+    p2 = pf.reshape(rows, LANES)
+    nblocks = max(1, sort_ops.cdiv(n, block_rows * LANES))
+    sort_rows = nblocks * block_rows
+    ks, ps = sort_ops.sort_blocks(k2[:sort_rows], p2[:sort_rows], block_rows,
+                                  alternating=False)
+    ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
+    ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
+    lens = [block_rows * LANES] * nblocks
+    lens[-1] = n - (nblocks - 1) * block_rows * LANES
+    stride = block_rows
+    while len(lens) > 1:
+        w = min(fanin, 1 << (len(lens) - 1).bit_length())
+        ks, ps, lens = multiway_merge(ks, ps, lens, stride, w, tile_rows)
+        stride *= w
+    return ks.reshape(-1)[:n], ps.reshape(-1)[:n]
