@@ -1,0 +1,145 @@
+"""Command-line driver — the TPU analog of the reference's sortmergejoins
+binary (reference: src/main.c): same flags, same workload construction, same
+output conventions (``Results = N`` on stdout, statistics on stderr so
+scripts can split the streams, joincommon.c:175-196).
+
+``--nthreads`` generalizes to the number of mesh devices: 1 runs the
+single-chip pipelines; >1 shards the join over a device mesh (on CPU, set
+XLA_FLAGS=--xla_force_host_platform_device_count=N to simulate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="avx_sort_merge_joins_tpu",
+        description="TPU-native NUMA-free sort-merge joins "
+                    "(m-way / m-pass / mpsm)")
+    # flag set mirrors main.c:722-745
+    p.add_argument("-a", "--algo", default="m-way",
+                   choices=["m-way", "m-pass", "mpsm"],
+                   help="join algorithm (main.c:414-420 registry)")
+    p.add_argument("-n", "--nthreads", type=int, default=1,
+                   help="number of mesh devices (reference: CPU threads)")
+    p.add_argument("-r", "--r-size", type=int, default=128_000_000)
+    p.add_argument("-s", "--s-size", type=int, default=128_000_000)
+    p.add_argument("-x", "--r-seed", type=int, default=12345)
+    p.add_argument("-y", "--s-seed", type=int, default=54321)
+    p.add_argument("-z", "--skew", type=float, default=0.0,
+                   help="Zipf skew parameter for S")
+    p.add_argument("--non-unique", action="store_true",
+                   help="R keys drawn uniformly instead of unique 1..|R|")
+    p.add_argument("--full-range", action="store_true",
+                   help="R keys span the full 2^31 domain (KEY_8B analog)")
+    p.add_argument("--scalarsort", action="store_true",
+                   help="use the XLA lax.sort baseline for sorting")
+    p.add_argument("--scalarmerge", action="store_true",
+                   help="use the XLA baseline for merging/counting")
+    p.add_argument("-f", "--partfanout", type=int, default=16,
+                   help="multiway merge fan-in (reference PARTFANOUT)")
+    p.add_argument("-S", "--numastrategy", default="NEXT",
+                   choices=["NEXT", "RING", "RANDOM"],
+                   help="exchange schedule of the multi-chip shuffle")
+    p.add_argument("-m", "--mwaybufsize", type=int, default=0,
+                   help="multiway FIFO buffer size in bytes (0 = derived)")
+    p.add_argument("--materialize", action="store_true",
+                   help="produce join output tuples, not only the count")
+    p.add_argument("--persist", metavar="DIR", default=None,
+                   help="write R.tbl/S.tbl/Out.tbl (generator.c:200-213)")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def make_relations(args):
+    from . import datagen
+    from .types import Relation
+
+    info = lambda msg: print(f"[INFO ] {msg}", file=sys.stderr)
+    datagen.seed_generator(args.r_seed)
+    if args.non_unique:
+        maxid = (2**31 - 2) if args.full_range else args.r_size
+        info(f"Creating non-unique R with {args.r_size} tuples, maxid {maxid}")
+        R = datagen.create_relation_nonunique(args.r_size, maxid)
+    else:
+        info(f"Creating unique pk R with {args.r_size} tuples")
+        R = datagen.create_relation_pk(args.r_size)
+    datagen.seed_generator(args.s_seed)
+    if args.skew > 0:
+        info(f"Creating Zipf S with {args.s_size} tuples, z={args.skew}")
+        S = datagen.create_relation_zipf(args.s_size, args.r_size, args.skew)
+    else:
+        info(f"Creating fk S with {args.s_size} tuples")
+        S = datagen.create_relation_fk(args.s_size, args.r_size)
+    return R, S
+
+
+def run_join(args, R, S):
+    from .types import JoinConfig
+
+    config = JoinConfig(
+        nthreads=args.nthreads,
+        part_fanout=args.partfanout,
+        scalar_sort=args.scalarsort,
+        scalar_merge=args.scalarmerge,
+        mwaybufsize_bytes=args.mwaybufsize,
+        numa_strategy=args.numastrategy,
+        materialize=args.materialize,
+    )
+    if args.nthreads > 1:
+        from .parallel import dist_join
+        from .parallel.mesh import make_mesh
+
+        t0 = time.perf_counter()
+        cnt, overflow = dist_join.dist_join_count(
+            R.keys, R.payloads, S.keys, S.payloads,
+            R.num_tuples, S.num_tuples, make_mesh(args.nthreads))
+        dt = time.perf_counter() - t0
+        if overflow:
+            print(f"[ERROR] exchange bucket overflow ({overflow} tuples); "
+                  "raise slack", file=sys.stderr)
+            sys.exit(1)
+        from .types import JoinResult
+        return JoinResult(totalresults=cnt, resultlist=[],
+                          phases={"total": dt},
+                          throughput=(R.num_tuples + S.num_tuples) / dt)
+
+    if args.algo == "m-way":
+        from .models.mway import sortmergejoin_multiway
+        return sortmergejoin_multiway(R, S, config, fanin=args.partfanout)
+    if args.algo == "m-pass":
+        from .models.mpass import sortmergejoin_multipass
+        return sortmergejoin_multipass(R, S, config)
+    if args.algo == "mpsm":
+        from .models.mpsm import sortmergejoin_mpsm
+        return sortmergejoin_mpsm(R, S, config)
+    raise SystemExit(f"unknown algorithm {args.algo}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    R, S = make_relations(args)
+    result = run_join(args, R, S)
+    # statistics to stderr, results to stdout (joincommon.c:175-196 split)
+    for name, secs in result.phases.items():
+        print(f"[STATS] {name:12s} {secs * 1e6:12.1f} usecs", file=sys.stderr)
+    ntotal = R.num_tuples + S.num_tuples
+    total = result.phases.get("total", 0.0) or 1e-12
+    print(f"[STATS] NUMTUPLES {ntotal}, TOTAL-TIME-USECS {total*1e6:.1f}, "
+          f"TUPLES-PER-SECOND {result.throughput:.0f}", file=sys.stderr)
+    print(f"Results = {result.totalresults}")
+    if args.persist:
+        import os
+        from .datagen import write_relation
+        os.makedirs(args.persist, exist_ok=True)
+        write_relation(R, os.path.join(args.persist, "R.tbl"))
+        write_relation(S, os.path.join(args.persist, "S.tbl"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,9 +35,11 @@ FANIN_DEFAULT = 16
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _mway_device(rk, rp, sk, sp, nR: int, nS: int, fanin: int,
                  block_rows: int, tile_rows: int):
-    rks, rps = mw.multiway_sort(rk, rp, nR, block_rows, tile_rows, fanin)
-    sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows, fanin)
-    stats = mergejoin.merge_join_count_asc(rks, sks, nR, nS, tile_rows)
+    rks, rps = mw.multiway_sort(rk, rp, nR, block_rows, tile_rows, fanin,
+                                return_2d=True)
+    sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows, fanin,
+                                return_2d=True)
+    stats = mergejoin.merge_join_count_fused(rks, sks, nR, nS, tile_rows)
     return rks, rps, sks, sps, stats
 
 
@@ -56,5 +58,5 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
 
     (rks, rps, sks, sps, stats), timings = common.run_phases(
         {"sortmerge": pipeline})
-    matches = mergejoin.finish_count(stats, tile_rows)
+    matches = mergejoin.finish_count_fused(stats)
     return common.make_result(matches, nR, nS, timings)

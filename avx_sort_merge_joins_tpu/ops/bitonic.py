@@ -170,6 +170,25 @@ def flip_flat(x):
     return x
 
 
+def shift_right_flat(x, d: int, fill=None):
+    """Right-shift a row-major (R,128) tile by a static power-of-two d flat
+    elements: out[i] = x[i-d]; positions i < d receive ``fill`` (default:
+    wrapped garbage — callers mask).  Used by segmented scans."""
+    r = x.shape[0]
+    if d >= LANES:
+        assert d % LANES == 0
+        y = _roll(x, d // LANES, 0)
+    else:
+        lane = _lane_iota(x.shape)
+        ys = _roll(x, d, 1)                # lane right-rotate by d
+        xr1 = _roll(x, 1, 0)               # rows shifted down by one
+        yb = _roll(xr1, d, 1)
+        y = jnp.where(lane >= d, ys, yb)
+    if fill is not None:
+        y = jnp.where(flat_index(x.shape) < d, fill, y)
+    return y
+
+
 def shift_flat(x, s):
     """Left-shift a row-major (R,128) tile by s in [0,128) flat elements:
     out flat[i] = x flat[i + s]; the trailing s elements are garbage

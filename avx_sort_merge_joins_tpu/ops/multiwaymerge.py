@@ -280,7 +280,11 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=sort_ops._interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # FIFO scratch can exceed the default 16 MiB scoped-vmem limit
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(lens_arr, keys2d, payloads2d)
     new_lens = [sum(lens[g * fanin:(g + 1) * fanin]) for g in range(ngroups)]
     return ok, op, new_lens
@@ -289,7 +293,7 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
 def multiway_sort(keys, payloads, n: int | None = None,
                   block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
                   tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
-                  fanin: int = 16):
+                  fanin: int = 16, return_2d: bool = False):
     """Full sort via block sort + log_fanin(#blocks) multiway merge passes —
     the analog of avxsortmultiway_tuples (avxsort_multiway.c:96-152), which
     sorts cache-sized blocks then k-way-merges them in one pass instead of
@@ -317,4 +321,8 @@ def multiway_sort(keys, payloads, n: int | None = None,
         w = min(fanin, 1 << (len(lens) - 1).bit_length())
         ks, ps, lens = multiway_merge(ks, ps, lens, stride, w, tile_rows)
         stride *= w
+    if return_2d:
+        # padded (rows,128) layouts with the spare window tile intact —
+        # directly consumable by the streaming count/merge kernels
+        return ks, ps
     return ks.reshape(-1)[:n], ps.reshape(-1)[:n]

@@ -1,0 +1,45 @@
+"""CLI driver tests — flag surface and output conventions of the
+sortmergejoins binary (reference: src/main.c:605-607 prints Results = N;
+stats go to stderr so scripts can split streams)."""
+
+import numpy as np
+import pytest
+
+from avx_sort_merge_joins_tpu.cli import build_parser, main
+from avx_sort_merge_joins_tpu.models.mpsm import sortmergejoin_mpsm
+from avx_sort_merge_joins_tpu.ops.mergejoin import merge_join_count_numpy
+from avx_sort_merge_joins_tpu.types import Relation
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args([])
+    assert args.algo == "m-way"
+    assert args.r_size == 128_000_000 and args.s_size == 128_000_000
+    assert args.partfanout == 16 and args.numastrategy == "NEXT"
+
+
+@pytest.mark.parametrize("algo", ["m-way", "m-pass"])
+def test_cli_join_results(capsys, algo):
+    rc = main(["-a", algo, "-r", "30000", "-s", "30000",
+               "-x", "42", "-y", "43"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Results = 30000" in out
+
+
+def test_cli_nonunique(capsys):
+    rc = main(["-a", "m-way", "-r", "20000", "-s", "20000", "--non-unique",
+               "-x", "7", "-y", "8"])
+    assert rc == 0
+    n = int(capsys.readouterr().out.split("Results = ")[1].split()[0])
+    assert n > 0  # oracle-checked in test_joins/test_mway; here: plumbing
+
+
+def test_mpsm_vs_oracle(rng):
+    nR, nS = 30_000, 45_000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    R = Relation.from_numpy(rk, np.arange(nR, dtype=np.int32))
+    S = Relation.from_numpy(sk, np.arange(nS, dtype=np.int32))
+    res = sortmergejoin_mpsm(R, S, nchunks=3)
+    assert res.totalresults == merge_join_count_numpy(rk, sk)
