@@ -1,0 +1,111 @@
+"""Phase-throughput benchmark — the tputbench analog
+(reference: src/bench/tputbench.c: inlined m-way pipeline with per-phase
+PART/MERGE throughput prints :319-325,556-562, plus a ``numabench`` mode
+measuring pure cross-NUMA memcpy/aggregation throughput under the
+NEXT/RING/RANDOM shuffle orders :665-1171).
+
+Modes:
+  tput  — run the m-way pipeline phases (sort / merge / join) separately,
+          printing per-phase tuples/s.
+  numa  — the ICI analog of numabench: all_to_all bandwidth over the device
+          mesh (requires >1 device; on CPU set
+          XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mergejoin as mj, multiwaymerge as mw, sort as so
+from . import common
+
+
+def run_tput(n: int, fanin: int, reps: int) -> int:
+    keys = common.gen_keys(n)
+    kd = jnp.asarray(keys)
+
+    block = jax.jit(lambda a: _blocks_only(a, n))
+    full = jax.jit(lambda a: mw.multiway_sort(a, None, n, fanin=fanin,
+                                              return_2d=True)[0])
+    t_block = common.time_best(block, kd, reps=reps)
+    t_full = common.time_best(full, kd, reps=reps)
+    r2 = full(kd)
+    count = jax.jit(functools.partial(mj.merge_join_count_fused,
+                                      nR=n, nS=n))
+    t_join = common.time_best(count, r2, r2, reps=reps)
+    for name, secs in [("SORT-BLOCKS", t_block),
+                       ("MERGE", max(t_full - t_block, 1e-9)),
+                       ("MJOIN", t_join)]:
+        print(f"[tputbench] {name:12s} {secs*1e6:12.0f} usecs "
+              f"{n/secs/1e6:10.1f} Mtuples/s", file=sys.stderr)
+    print(f"{t_block*1e6:.0f} {max(t_full-t_block,0)*1e6:.0f} "
+          f"{t_join*1e6:.0f} {n} {t_full*1e6:.0f} {n/t_full/1e6:.2f}")
+    return 0
+
+
+def _blocks_only(keys, n):
+    from ..ops.bitonic import KEY_POS_INF, LANES
+    rows = so.padded_rows(n)
+    cap = rows * LANES
+    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(keys[:n])
+    k2 = kf.reshape(rows, LANES)
+    nblocks = so.cdiv(n, so.BLOCK_ROWS_DEFAULT * LANES)
+    ks, _ = so.sort_blocks(k2[:nblocks * so.BLOCK_ROWS_DEFAULT], None,
+                           so.BLOCK_ROWS_DEFAULT, alternating=False)
+    return ks
+
+
+def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
+    from ..parallel.mesh import AXIS, make_mesh, shuffle_order
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh()
+    ndev = int(np.prod(list(mesh.shape.values())))
+    if ndev < 2:
+        print("[tputbench] numa mode needs >1 device", file=sys.stderr)
+        return 1
+    order = shuffle_order(strategy, ndev)
+    print(f"[tputbench] numabench over {ndev} devices, strategy={strategy} "
+          f"order={order.tolist()}", file=sys.stderr)
+    x = jnp.zeros((ndev, n_per_chip), jnp.int32)
+    sh = NamedSharding(mesh, P(AXIS))
+    x = jax.device_put(x, sh)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(AXIS),
+                       out_specs=P(AXIS))
+    def a2a(v):
+        out = jax.lax.all_to_all(v.reshape(-1), AXIS, 0, 0, tiled=True)
+        return out.reshape(v.shape)
+
+    secs = common.time_best(a2a, x, reps=reps)
+    gb = ndev * n_per_chip * 4 / 1e9
+    print(f"[tputbench] ALL-TO-ALL {secs*1e6:.0f} usecs "
+          f"{gb/secs:.1f} GB/s aggregate", file=sys.stderr)
+    print(f"{secs*1e6:.0f} {gb/secs:.2f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tputbench")
+    p.add_argument("--mode", default="tput", choices=["tput", "numa"])
+    p.add_argument("-n", "--ntuples", type=int, default=1 << 24)
+    p.add_argument("-f", "--fanin", type=int, default=16)
+    p.add_argument("-S", "--strategy", default="NEXT",
+                   choices=["NEXT", "RING", "RANDOM"])
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args(argv)
+    if args.mode == "tput":
+        return run_tput(args.ntuples, args.fanin, args.reps)
+    return run_numa(args.ntuples, args.strategy, args.reps)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,9 @@ def main(argv=None) -> int:
         os.makedirs(args.persist, exist_ok=True)
         write_relation(R, os.path.join(args.persist, "R.tbl"))
         write_relation(S, os.path.join(args.persist, "S.tbl"))
+        if args.materialize and result.resultlist:
+            write_relation(result.resultlist[0].results,
+                           os.path.join(args.persist, "Out.tbl"))
     return 0
 
 

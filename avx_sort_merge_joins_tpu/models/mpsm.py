@@ -34,11 +34,11 @@ from . import common
 NCHUNKS_DEFAULT = 4
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
-def _mpsm_device(rk, rp, sk, sp, nR: int, nS: int, nchunks: int, fanin: int,
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _mpsm_device(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
                  block_rows: int, tile_rows: int):
-    rks, rps = mw.multiway_sort(rk, rp, nR, block_rows, tile_rows, fanin,
-                                return_2d=True)
+    rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin,
+                              return_2d=True)
     chunk = -(-nS // nchunks)
     stats = []
     for c in range(nchunks):
@@ -46,9 +46,9 @@ def _mpsm_device(rk, rp, sk, sp, nR: int, nS: int, nchunks: int, fanin: int,
         ln = min(chunk, nS - lo)
         if ln <= 0:
             break
-        sks, sps = mw.multiway_sort(sk[lo:lo + ln], sp[lo:lo + ln], ln,
-                                    block_rows, tile_rows, fanin,
-                                    return_2d=True)
+        sks, _ = mw.multiway_sort(sk[lo:lo + ln], None, ln,
+                                  block_rows, tile_rows, fanin,
+                                  return_2d=True)
         stats.append(mergejoin.merge_join_count_fused(rks, sks, nR, ln,
                                                       tile_rows))
     return stats
@@ -65,7 +65,7 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
     nR, nS = R.num_tuples, S.num_tuples
 
     def pipeline(_):
-        return _mpsm_device(R.keys, R.payloads, S.keys, S.payloads,
+        return _mpsm_device(R.keys, S.keys,
                             nR, nS, nchunks, fanin, block_rows, tile_rows)
 
     stats_list, timings = common.run_phases({"sortmerge": pipeline})

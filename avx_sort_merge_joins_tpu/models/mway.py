@@ -25,38 +25,74 @@ import functools
 
 import jax
 
-from ..types import JoinConfig, JoinResult, Relation
-from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
+from ..types import JoinConfig, JoinResult, Relation, ThreadResult
+from ..ops import materialize, mergejoin, multiwaymerge as mw
+from ..ops import sort as sort_ops
 from . import common
 
 FANIN_DEFAULT = 16
+# sweep-measured best on v5e (keys-only, 16M): 64K-tuple blocks/tiles
+BLOCK_ROWS_MWAY = 256
+TILE_ROWS_MWAY = 256
+COUNT_TILE_ROWS = 128  # the count kernel's packed segscan wants T <= 16384
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _mway_device(rk, rp, sk, sp, nR: int, nS: int, fanin: int,
-                 block_rows: int, tile_rows: int):
-    rks, rps = mw.multiway_sort(rk, rp, nR, block_rows, tile_rows, fanin,
-                                return_2d=True)
-    sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows, fanin,
-                                return_2d=True)
-    stats = mergejoin.merge_join_count_fused(rks, sks, nR, nS, tile_rows)
-    return rks, rps, sks, sps, stats
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
+                       block_rows: int, tile_rows: int):
+    """Count-only m-way join: keys-only sorts (payloads never influence the
+    match count — the reference's default non-materializing run) + fused
+    zero-write merge-join count."""
+    rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin,
+                              return_2d=True)
+    sks, _ = mw.multiway_sort(sk, None, nS, block_rows, tile_rows, fanin,
+                              return_2d=True)
+    return mergejoin.merge_join_count_fused(rks, sks, nR, nS,
+                                            COUNT_TILE_ROWS)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _mway_materialize_device(rk, sk, sp, nR: int, nS: int, fanin: int,
+                             block_rows: int, tile_rows: int):
+    """Materializing m-way join: sort R keys, sort S tuples, emit matched
+    S tuples (<S-key, S-RID>, joincommon.c:272-284)."""
+    rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin)
+    sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows, fanin)
+    return materialize.materialize_matches(rks, nR, sks, sps, nS)
 
 
 def sortmergejoin_multiway(R: Relation, S: Relation,
                            config: JoinConfig | None = None,
                            fanin: int = FANIN_DEFAULT,
-                           block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
-                           tile_rows: int = sort_ops.TILE_ROWS_DEFAULT
+                           block_rows: int = BLOCK_ROWS_MWAY,
+                           tile_rows: int = TILE_ROWS_MWAY
                            ) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
 
-    def pipeline(_):
-        return _mway_device(R.keys, R.payloads, S.keys, S.payloads,
-                            nR, nS, fanin, block_rows, tile_rows)
+    if config.materialize:
+        import numpy as np
 
-    (rks, rps, sks, sps, stats), timings = common.run_phases(
-        {"sortmerge": pipeline})
+        def pipeline(_):
+            return _mway_materialize_device(R.keys, S.keys, S.payloads,
+                                            nR, nS, fanin, block_rows,
+                                            tile_rows)
+
+        (ok, op, om, n_matched), timings = common.run_phases(
+            {"sortmerge": pipeline})
+        nm = int(n_matched)
+        matches = int(np.asarray(om[:nm], dtype=np.int64).sum())
+        result = common.make_result(matches, nR, nS, timings)
+        result.resultlist = [ThreadResult(
+            nresults=matches,
+            results=materialize.materialized_relation(ok, op, nm),
+            shard_id=0)]
+        return result
+
+    def pipeline(_):
+        return _mway_count_device(R.keys, S.keys, nR, nS, fanin,
+                                  block_rows, tile_rows)
+
+    stats, timings = common.run_phases({"sortmerge": pipeline})
     matches = mergejoin.finish_count_fused(stats)
     return common.make_result(matches, nR, nS, timings)

@@ -68,38 +68,52 @@ def cmpex(k, p, d, asc):
     ``asc`` is a boolean array broadcastable to k.shape (True = the element
     pair containing this position sorts ascending).  Pairs are (i, i+d) for
     i with bit d clear, as in the textbook bitonic network.
+
+    ``p`` may be None for keys-only networks (count-only join pipelines):
+    this halves the VMEM traffic per substage, the dominant cost.
     """
     if d < LANES:
         lane = _lane_iota(k.shape)
         lo = (lane & d) == 0
         kv_up = _roll(k, LANES - d, 1)  # value from lane+d
-        pv_up = _roll(p, LANES - d, 1)
         kv_dn = _roll(k, d, 1)          # value from lane-d
-        pv_dn = _roll(p, d, 1)
         kv = jnp.where(lo, kv_up, kv_dn)
-        pv = jnp.where(lo, pv_up, pv_dn)
-        lt, le = lex_lt_le(k, p, kv, pv)
+        if p is None:
+            lt = k < kv
+            le = k <= kv
+            pv = None
+        else:
+            pv_up = _roll(p, LANES - d, 1)
+            pv_dn = _roll(p, d, 1)
+            pv = jnp.where(lo, pv_up, pv_dn)
+            lt, le = lex_lt_le(k, p, kv, pv)
         role_lo = jnp.logical_not(jnp.logical_xor(lo, asc))
         keep = (role_lo & le) | (jnp.logical_not(role_lo) & jnp.logical_not(lt))
-        return jnp.where(keep, k, kv), jnp.where(keep, p, pv)
+        return (jnp.where(keep, k, kv),
+                None if p is None else jnp.where(keep, p, pv))
 
     dr = d // LANES
     r = k.shape[0]
     shape4 = (r // (2 * dr), 2, dr, LANES)
     k3 = k.reshape(shape4)
-    p3 = p.reshape(shape4)
     if isinstance(asc, bool):
         asc0 = asc
     else:
         asc0 = asc.reshape(shape4)[:, 0]
-    _, le01 = lex_lt_le(k3[:, 0], p3[:, 0], k3[:, 1], p3[:, 1])
+    if p is None:
+        le01 = k3[:, 0] <= k3[:, 1]
+    else:
+        p3 = p.reshape(shape4)
+        _, le01 = lex_lt_le(k3[:, 0], p3[:, 0], k3[:, 1], p3[:, 1])
     # keep element 0 in the low slot iff (e0 <= e1) == ascending
     c0 = jnp.logical_not(jnp.logical_xor(le01, asc0))
     k_lo = jnp.where(c0, k3[:, 0], k3[:, 1])
-    p_lo = jnp.where(c0, p3[:, 0], p3[:, 1])
     k_hi = jnp.where(c0, k3[:, 1], k3[:, 0])
-    p_hi = jnp.where(c0, p3[:, 1], p3[:, 0])
     k = jnp.concatenate([k_lo[:, None], k_hi[:, None]], axis=1).reshape(r, LANES)
+    if p is None:
+        return k, None
+    p_lo = jnp.where(c0, p3[:, 0], p3[:, 1])
+    p_hi = jnp.where(c0, p3[:, 1], p3[:, 0])
     p = jnp.concatenate([p_lo[:, None], p_hi[:, None]], axis=1).reshape(r, LANES)
     return k, p
 

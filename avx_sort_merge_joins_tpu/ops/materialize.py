@@ -1,0 +1,54 @@
+"""Join-output materialization.
+
+The reference's merge_join materializes only the matching S tuple
+``<S-key, S-RID>`` per match pair (reference: src/joins/joincommon.c:272-284
+under JOIN_MATERIALIZE, written into a chained tuple buffer).  Equivalently:
+every S tuple is emitted once per matching R tuple, in S order per key.
+
+TPU realization: per S element compute cntR(key) (how many R rows share its
+key) with a searchsorted rank difference over the sorted R keys, then
+compact matched S tuples to the front with one stable grouping sort — the
+scatter-free TPU idiom (see ops/partition.py).  Duplicate-R replication
+(cntR > 1) is returned as a per-tuple multiplicity column rather than
+physically expanded rows; physical expansion is only needed for non-pk R
+relations, which none of the reference workloads exercise
+(R is unique 1..|R| in workloads A/B, README:234-258).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import Relation
+
+
+def materialize_matches(rk_sorted, nR: int, sk_sorted, sp_sorted, nS: int):
+    """Emit matched S tuples (the reference's <S-key, S-RID> convention).
+
+    Inputs are 1-D sorted columns (R keys; S keys + payloads).  Returns
+    device arrays ``(out_keys, out_payloads, out_mult, n_matched_s)``:
+    matched S tuples compacted to the front (S order preserved), with
+    ``out_mult[i]`` = cntR(key_i) (1 for pk-R).  Total matches =
+    sum(out_mult[:n_matched_s]).
+    """
+    rk = rk_sorted[:nR]
+    sk = sk_sorted[:nS]
+    sp = sp_sorted[:nS]
+    lo = jnp.searchsorted(rk, sk, side="left")
+    hi = jnp.searchsorted(rk, sk, side="right")
+    mult = (hi - lo).astype(jnp.int32)
+    matched = mult > 0
+    # stable compaction: group by (unmatched?) keeping S order
+    tag = jnp.where(matched, 0, 1).astype(jnp.int32)
+    idx = jnp.arange(nS, dtype=jnp.int32)
+    _, _, ok, op, om = jax.lax.sort((tag, idx, sk, sp, mult), num_keys=2)
+    n_matched = jnp.sum(matched.astype(jnp.int32))
+    return ok, op, om, n_matched
+
+
+def materialized_relation(ok, op, n_matched: int) -> Relation:
+    """Wrap compacted match columns as a Relation of n_matched tuples."""
+    return Relation(ok, op, int(n_matched), sorted=True)

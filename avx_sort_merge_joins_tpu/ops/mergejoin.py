@@ -164,21 +164,32 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open):
     prev = bitonic.shift_right_flat(keys, 1)
     b = (keys != prev).astype(jnp.int32)
     b = jnp.where(idx == 0, (keys != carry_key).astype(jnp.int32), b)
-    v0 = (flags == 0).astype(jnp.int32)
-    v1 = (flags == 1).astype(jnp.int32)
+    n = keys.shape[0] * LANES
+    # pack both counters into one lane when they fit 15 bits each — halves
+    # the scan's VMEM traffic (within-tile counts are bounded by T)
+    packed = n <= (1 << 14)
+    if packed:
+        v = (flags == 0).astype(jnp.int32) + \
+            ((flags == 1).astype(jnp.int32) << 15)
+        vs = [v]
+    else:
+        vs = [(flags == 0).astype(jnp.int32), (flags == 1).astype(jnp.int32)]
     f = b
     d = 1
-    n = keys.shape[0] * LANES
     while d < n:
         # shifted-in positions carry the scan identity (f=0, v=0)
         f_s = bitonic.shift_right_flat(f, d, fill=jnp.int32(0))
-        v0_s = bitonic.shift_right_flat(v0, d, fill=jnp.int32(0))
-        v1_s = bitonic.shift_right_flat(v1, d, fill=jnp.int32(0))
         keep = f == 0
-        v0 = v0 + jnp.where(keep, v0_s, 0)
-        v1 = v1 + jnp.where(keep, v1_s, 0)
+        vs = [v + jnp.where(keep,
+                            bitonic.shift_right_flat(v, d, fill=jnp.int32(0)),
+                            0)
+              for v in vs]
         f = f | f_s
         d *= 2
+    if packed:
+        v0, v1 = vs[0] & ((1 << 15) - 1), vs[0] >> 15
+    else:
+        v0, v1 = vs
     open_seg = f == 0
     c0 = v0 + jnp.where(open_seg, r_open, 0)
     c1 = v1 + jnp.where(open_seg, s_open, 0)
@@ -228,11 +239,12 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         bk = bitonic.shift_flat(wbk[:], skip_b)[:tile_rows]
         fidx = bitonic.flat_index(ak.shape)
         fa = jnp.where(fidx < avail_a, 0, 2).astype(jnp.int32)
-        fb = jnp.where(fidx < avail_b, 1, 2).astype(jnp.int32)
         ak = jnp.where(fidx < avail_a, ak, KEY_POS_INF)
         bk = jnp.where(fidx < avail_b, bk, KEY_POS_INF)
         bk_r = bitonic.flip_flat(bk)
-        fb_r = bitonic.flip_flat(fb)
+        # flip(B)'s validity mask needs no data reversal: reversed position
+        # i holds B element T-1-i, valid iff T-1-i < avail_b
+        fb_r = jnp.where(fidx >= T - avail_b, 1, 2).astype(jnp.int32)
         lt, le = bitonic.lex_lt_le(ak, fa, bk_r, fb_r)
         hk = jnp.where(le, ak, bk_r)
         hf = jnp.where(le, fa, fb_r)

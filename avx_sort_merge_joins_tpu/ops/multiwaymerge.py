@@ -33,12 +33,15 @@ Design mapping:
 
 Run lengths are dynamic (SMEM); capacities/strides are static.  Pad slots
 carry +inf sentinels and consumption clamping keeps counts exact.
+
+``payloads=None`` selects the keys-only network (count-only join
+pipelines): every VMEM/HBM touch halves, which is the dominant cost.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +61,8 @@ _flip = bitonic.flip_flat
 
 def _select_merge(ak, ap, bk, bp):
     """Merge two ascending T-element windows: returns the sorted lower half
-    (k, p) and how many elements were consumed from A.
+    (k, p) and how many elements were consumed from A (``ap``/``bp`` may be
+    None for keys-only).
 
     concat(A asc, reverse(B) desc) is bitonic; its first compare-exchange
     stage at distance T is the elementwise lex-min of A and reverse(B), and
@@ -66,26 +70,29 @@ def _select_merge(ak, ap, bk, bp):
     preference.  A full bitonic merge then sorts the lower half ascending.
     """
     bk_r = _flip(bk)
-    bp_r = _flip(bp)
-    lt, le = bitonic.lex_lt_le(ak, ap, bk_r, bp_r)
+    if ap is None:
+        le = ak <= bk_r
+        hp = None
+    else:
+        bp_r = _flip(bp)
+        _, le = bitonic.lex_lt_le(ak, ap, bk_r, bp_r)
+        hp = jnp.where(le, ap, bp_r)
     hk = jnp.where(le, ak, bk_r)
-    hp = jnp.where(le, ap, bp_r)
     consumed_a = jnp.sum(le.astype(jnp.int32))
     mk, mp = bitonic.bitonic_merge(hk, hp, ascending=True)
     return mk, mp, consumed_a
 
 
 def _mwaymerge_kernel(
-    lens_ref,            # SMEM (nruns,) int32 logical run lengths
-    k_hbm, p_hbm,        # ANY  (rows,128) inputs
-    ok_hbm, op_hbm,      # ANY  (rows,128) outputs
-    fk, fp,              # VMEM (nnodes, (C+1)*tile_rows, 128) FIFO rings
-    wk, wp,              # VMEM (tile_rows+8, 128) leaf DMA windows (keys/payloads)
-    wk2, wp2,            # VMEM second leaf window
-    rk_s, rp_s,          # VMEM (tile_rows,128) root output staging
-    insem, outsem,
-    *, fanin: int, stride_rows: int, tile_rows: int,
+    lens_ref, *refs,
+    fanin: int, stride_rows: int, tile_rows: int, keys_only: bool,
 ):
+    if keys_only:
+        (k_hbm, ok_hbm, fk, wk, wk2, rk_s, insem, outsem) = refs
+        p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
+    else:
+        (k_hbm, p_hbm, ok_hbm, op_hbm, fk, fp,
+         wk, wp, wk2, wp2, rk_s, rp_s, insem, outsem) = refs
     W = fanin
     nnodes = W - 1
     T = tile_rows * LANES
@@ -130,8 +137,7 @@ def _mwaymerge_kernel(
         return avail, (avail >= T) | (produced[c] >= sub_len[c])
 
     def load_child_window(c, consumed, wkbuf, wpbuf):
-        """Return (keys, payloads) ascending T-window of child c's head,
-        masked with +inf beyond the available count."""
+        """Return (keys, payloads) ascending T-window of child c's head."""
         if c >= nnodes:
             run = c - nnodes
             e = consumed[c]
@@ -139,26 +145,36 @@ def _mwaymerge_kernel(
             row, skip = elem // LANES, elem % LANES
             cp1 = pltpu.make_async_copy(
                 k_hbm.at[pl.ds(row, tile_rows + 8), :], wkbuf, insem.at[0])
-            cp2 = pltpu.make_async_copy(
-                p_hbm.at[pl.ds(row, tile_rows + 8), :], wpbuf, insem.at[1])
-            cp1.start(); cp2.start(); cp1.wait(); cp2.wait()
+            cp1.start()
+            if not keys_only:
+                cp2 = pltpu.make_async_copy(
+                    p_hbm.at[pl.ds(row, tile_rows + 8), :], wpbuf,
+                    insem.at[1])
+                cp2.start()
+                cp1.wait(); cp2.wait()
+                p = bitonic.shift_flat(wpbuf[:], skip)[:tile_rows]
+            else:
+                cp1.wait()
+                p = None
             k = bitonic.shift_flat(wkbuf[:], skip)[:tile_rows]
-            p = bitonic.shift_flat(wpbuf[:], skip)[:tile_rows]
         else:
             e = consumed[c]
             pos = jnp.remainder(e, CAP)
             row, skip = pos // LANES, pos % LANES
             kwin = fk[c, pl.ds(row, tile_rows + 1), :]
-            pwin = fp[c, pl.ds(row, tile_rows + 1), :]
             k = bitonic.shift_flat(kwin, skip)[:tile_rows]
-            p = bitonic.shift_flat(pwin, skip)[:tile_rows]
+            if keys_only:
+                p = None
+            else:
+                pwin = fp[c, pl.ds(row, tile_rows + 1), :]
+                p = bitonic.shift_flat(pwin, skip)[:tile_rows]
         return k, p
 
     def mask_invalid(k, p, avail):
         fidx = bitonic.flat_index(k.shape)
         bad = fidx >= avail
         return (jnp.where(bad, KEY_POS_INF, k),
-                jnp.where(bad, KEY_POS_INF, p))
+                None if p is None else jnp.where(bad, KEY_POS_INF, p))
 
     def fire_node(m, produced, consumed):
         cl, cr = 2 * m + 1, 2 * m + 2
@@ -174,24 +190,30 @@ def _mwaymerge_kernel(
         if m == 0:
             # root: stage and DMA to the output HBM region
             rk_s[:] = mk
-            rp_s[:] = mp
             orow = out_base_rows + (produced[0] // LANES)
             o1 = pltpu.make_async_copy(
                 rk_s, ok_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[0])
-            o2 = pltpu.make_async_copy(
-                rp_s, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
-            o1.start(); o2.start(); o1.wait(); o2.wait()
+            o1.start()
+            if not keys_only:
+                rp_s[:] = mp
+                o2 = pltpu.make_async_copy(
+                    rp_s, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
+                o2.start(); o1.wait(); o2.wait()
+            else:
+                o1.wait()
         else:
             slot = jnp.remainder(produced[m] // T, FIFO_TILES)
             row = slot * tile_rows
             fk[m, pl.ds(row, tile_rows), :] = mk
-            fp[m, pl.ds(row, tile_rows), :] = mp
+            if not keys_only:
+                fp[m, pl.ds(row, tile_rows), :] = mp
             # mirror tile 0 so element-granular windows never wrap
 
             @pl.when(slot == 0)
             def _():
                 fk[m, pl.ds(FIFO_TILES * tile_rows, tile_rows), :] = mk
-                fp[m, pl.ds(FIFO_TILES * tile_rows, tile_rows), :] = mp
+                if not keys_only:
+                    fp[m, pl.ds(FIFO_TILES * tile_rows, tile_rows), :] = mp
 
         inc_out = jnp.minimum(jnp.int32(T), sub_len[m] - produced[m])
         # state lives as tuples of scalars (SREGs) — all indices are static
@@ -239,7 +261,8 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
 
     Returns (keys2d, payloads2d, new_lens): merged run g spans rows
     [g*fanin*stride_rows, ...) with length sum(lens in group).  The analog of
-    avx_multiway_merge (avx_multiwaymerge.c:199-338).
+    avx_multiway_merge (avx_multiwaymerge.c:199-338).  ``payloads2d=None``
+    runs the keys-only network (second return is None).
     """
     lens = list(lens)
     assert fanin >= 2 and (fanin & (fanin - 1)) == 0
@@ -250,44 +273,52 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
     ngroups = len(lens) // fanin
     lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
     nnodes = fanin - 1
-    ok, op = pl.pallas_call(
+    keys_only = payloads2d is None
+    kshape = jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype)
+    win = pltpu.VMEM((tile_rows + 8, LANES), jnp.int32)
+    fifo = pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32)
+    stage = pltpu.VMEM((tile_rows, LANES), jnp.int32)
+    if keys_only:
+        out_shape = kshape
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        scratch = [fifo, win, win, stage,
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+        operands = (lens_arr, keys2d)
+    else:
+        out_shape = (kshape,
+                     jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype))
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        scratch = [fifo, fifo, win, win, win, win, stage, stage,
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+        operands = (lens_arr, keys2d, payloads2d)
+    out = pl.pallas_call(
         functools.partial(_mwaymerge_kernel, fanin=fanin,
-                          stride_rows=stride_rows, tile_rows=tile_rows),
-        out_shape=(
-            jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
-            jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
-        ),
+                          stride_rows=stride_rows, tile_rows=tile_rows,
+                          keys_only=keys_only),
+        out_shape=out_shape,
         grid=(ngroups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32),
-            pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=sort_ops._interpret(),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # FIFO scratch can exceed the default 16 MiB scoped-vmem limit
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(lens_arr, keys2d, payloads2d)
+    )(*operands)
     new_lens = [sum(lens[g * fanin:(g + 1) * fanin]) for g in range(ngroups)]
-    return ok, op, new_lens
+    if keys_only:
+        return out, None, new_lens
+    return out[0], out[1], new_lens
 
 
 def multiway_sort(keys, payloads, n: int | None = None,
@@ -297,23 +328,30 @@ def multiway_sort(keys, payloads, n: int | None = None,
     """Full sort via block sort + log_fanin(#blocks) multiway merge passes —
     the analog of avxsortmultiway_tuples (avxsort_multiway.c:96-152), which
     sorts cache-sized blocks then k-way-merges them in one pass instead of
-    log2 pairwise passes.  Returns 1-D (keys, payloads) of length n.
+    log2 pairwise passes.  Returns 1-D (keys, payloads) of length n
+    (payloads=None sorts keys only and returns None payloads).
     """
+    keys_only = payloads is None
     if n is None:
         n = int(keys.shape[0])
     rows = sort_ops.padded_rows(n, block_rows, tile_rows)
     cap = rows * LANES
     # all blocks sort ascending, so +inf pads sort to the junk end everywhere
     kf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(keys[:n])
-    pf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(payloads[:n])
     k2 = kf.reshape(rows, LANES)
-    p2 = pf.reshape(rows, LANES)
+    if keys_only:
+        p2 = None
+    else:
+        pf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(payloads[:n])
+        p2 = pf.reshape(rows, LANES)
     nblocks = max(1, sort_ops.cdiv(n, block_rows * LANES))
     sort_rows = nblocks * block_rows
-    ks, ps = sort_ops.sort_blocks(k2[:sort_rows], p2[:sort_rows], block_rows,
-                                  alternating=False)
+    ks, ps = sort_ops.sort_blocks(k2[:sort_rows],
+                                  None if keys_only else p2[:sort_rows],
+                                  block_rows, alternating=False)
     ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
-    ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
+    if not keys_only:
+        ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
     lens = [block_rows * LANES] * nblocks
     lens[-1] = n - (nblocks - 1) * block_rows * LANES
     stride = block_rows
@@ -325,4 +363,6 @@ def multiway_sort(keys, payloads, n: int | None = None,
         # padded (rows,128) layouts with the spare window tile intact —
         # directly consumable by the streaming count/merge kernels
         return ks, ps
+    if keys_only:
+        return ks.reshape(-1)[:n], None
     return ks.reshape(-1)[:n], ps.reshape(-1)[:n]

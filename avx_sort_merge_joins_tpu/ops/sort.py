@@ -67,15 +67,36 @@ def _block_sort_kernel(k_ref, p_ref, ok_ref, op_ref, *, alternating: bool,
     op_ref[:] = p
 
 
+def _block_sort_kernel_keys(k_ref, ok_ref, *, alternating: bool, flip: bool):
+    if alternating:
+        desc = jnp.logical_xor((pl.program_id(0) % 2) == 1, flip)
+    else:
+        desc = flip
+    k, _ = bitonic.bitonic_sort(k_ref[:], None, desc)
+    ok_ref[:] = k
+
+
 def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
                 flip: bool = False):
     """Sort each block of block_rows*128 tuples; even blocks ascending, odd
     descending (when alternating); ``flip`` mirrors every direction (for
-    descending full sorts)."""
+    descending full sorts).  ``payloads2d=None`` sorts keys only (halved
+    VMEM traffic; second return is None)."""
     rows = keys2d.shape[0]
     assert rows % block_rows == 0
     nblocks = rows // block_rows
     spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if payloads2d is None:
+        ok = pl.pallas_call(
+            functools.partial(_block_sort_kernel_keys,
+                              alternating=alternating, flip=flip),
+            out_shape=jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+            grid=(nblocks,),
+            in_specs=[spec],
+            out_specs=spec,
+            interpret=_interpret(),
+        )(keys2d)
+        return ok, None
     return pl.pallas_call(
         functools.partial(_block_sort_kernel, alternating=alternating,
                           flip=flip),

@@ -1,4 +1,4 @@
-"""Headline benchmark: m-pass sort-merge join throughput on one TPU chip.
+"""Headline benchmark: m-way sort-merge join throughput on one TPU chip.
 
 Workload B of the reference (Kim et al.): R ⋈ S with R unique keys 1..|R|
 and S a foreign-key relation over R (reference: README:246-258,
@@ -49,8 +49,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from avx_sort_merge_joins_tpu.models import mway
     from avx_sort_merge_joins_tpu.ops import mergejoin
-    from avx_sort_merge_joins_tpu.ops import sort as sort_ops
 
     n = int(os.environ.get("SMJ_BENCH_NTUPLES", 128_000_000))
     reps = int(os.environ.get("SMJ_BENCH_REPS", 3))
@@ -59,29 +59,25 @@ def main() -> None:
 
     print(f"[bench] backend={jax.default_backend()} n={n}", file=sys.stderr)
     rk, rp, sk, sp = _gen_workload(n)
-    rk_d, rp_d = jnp.asarray(rk), jnp.asarray(rp)
-    sk_d, sp_d = jnp.asarray(sk), jnp.asarray(sp)
-
-    @jax.jit
-    def mpass(rk, rp, sk, sp):
-        rks, rps = sort_ops.sort(rk, rp, n)
-        sks, sps = sort_ops.sort_descending(sk, sp, n)
-        return mergejoin.merge_join_count(rks, sks, n, n)
+    rk_d = jnp.asarray(rk)
+    sk_d = jnp.asarray(sk)
 
     def run():
-        stats = mpass(rk_d, rp_d, sk_d, sp_d)
-        jax.block_until_ready(stats)
+        stats = mway._mway_count_device(
+            rk_d, sk_d, n, n, mway.FANIN_DEFAULT,
+            mway.BLOCK_ROWS_MWAY, mway.TILE_ROWS_MWAY)
+        float(jnp.sum(stats[:1, :1]))  # sync (axon-safe)
         return stats
 
     t0 = time.perf_counter()
     stats = run()  # compile + warmup
     print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    matches = mergejoin.finish_count(stats)
+    matches = mergejoin.finish_count_fused(stats)
     assert matches == n, f"match count {matches} != |S| = {n}"
 
     secs = _time_best(run, reps)
     tput = total / secs / 1e6
-    print(f"[bench] m-pass join: {secs:.3f}s  {tput:.1f} Mtuples/s", file=sys.stderr)
+    print(f"[bench] m-way join: {secs:.3f}s  {tput:.1f} Mtuples/s", file=sys.stderr)
 
     vs = 0.0
     if not skip_base:
@@ -92,7 +88,7 @@ def main() -> None:
             return mergejoin.merge_join_count_xla(rks, sks, n, n)
 
         def run_base():
-            jax.block_until_ready(xla_join(rk_d, sk_d))
+            float(jnp.sum(xla_join(rk_d, sk_d).reshape(-1)[:1]))
 
         run_base()  # compile
         base_secs = _time_best(run_base, max(1, reps - 1))
@@ -102,7 +98,7 @@ def main() -> None:
         vs = tput / base_tput
 
     print(json.dumps({
-        "metric": f"mpass_join_throughput_{n}x{n}",
+        "metric": f"mway_join_throughput_{n}x{n}",
         "value": round(tput, 2),
         "unit": "Mtuples/s",
         "vs_baseline": round(vs, 3),
