@@ -91,13 +91,19 @@ def run_join(args, R, S):
         materialize=args.materialize,
     )
     if args.nthreads > 1:
-        from .parallel import dist_join
+        from .parallel import dist_join, dist_mway
         from .parallel.mesh import make_mesh
 
+        mesh = make_mesh(args.nthreads)
         t0 = time.perf_counter()
-        cnt, overflow = dist_join.dist_join_count(
-            R.keys, R.payloads, S.keys, S.payloads,
-            R.num_tuples, S.num_tuples, make_mesh(args.nthreads))
+        if args.algo == "m-way":
+            cnt, overflow = dist_mway.dist_mway_join_count(
+                R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
+                fanin=args.partfanout)
+        else:
+            cnt, overflow = dist_join.dist_join_count(
+                R.keys, R.payloads, S.keys, S.payloads,
+                R.num_tuples, S.num_tuples, mesh)
         dt = time.perf_counter() - t0
         if overflow:
             print(f"[ERROR] exchange bucket overflow ({overflow} tuples); "

@@ -172,8 +172,42 @@ def create_relation_zipf(
 
 def write_relation(rel: Relation, path: str) -> None:
     """Persist a relation as the reference's .tbl text format
-    (generator.c:200-213): one "key payload" pair per line."""
+    (generator.c:200-213): one "key payload" pair per line.  Uses the
+    native multi-threaded writer (csrc/tblio.cc) when built."""
     keys, payloads = rel.to_numpy()
+    try:
+        from . import native
+
+        if native.tblio_available():
+            native.tbl_write(path, keys, payloads)
+            return
+    except Exception:
+        pass
     with open(path, "w") as f:
         for k, p in zip(keys.tolist(), payloads.tolist()):
             f.write(f"{k} {p}\n")
+
+
+def read_relation(path: str, capacity: Optional[int] = None) -> Relation:
+    """Load a .tbl file back into a Relation (offline-comparison path for
+    persisted runs, README:146-148)."""
+    try:
+        from . import native
+
+        if native.tblio_available():
+            import os
+
+            cap = capacity or max(1, os.path.getsize(path) // 4)
+            keys, payloads = native.tbl_read(path, cap)
+            return Relation.from_numpy(keys, payloads, capacity)
+    except Exception:
+        pass
+    ks, ps = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                ks.append(int(parts[0]))
+                ps.append(int(parts[1]))
+    return Relation.from_numpy(np.asarray(ks, np.int32),
+                               np.asarray(ps, np.int32), capacity)

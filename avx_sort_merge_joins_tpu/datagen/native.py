@@ -38,6 +38,69 @@ def _build() -> str:
     return so
 
 
+def _build_tblio() -> str:
+    src = os.path.abspath(os.path.join(_CSRC, "tblio.cc"))
+    out_dir = os.path.abspath(os.path.join(_CSRC, "build"))
+    os.makedirs(out_dir, exist_ok=True)
+    so = os.path.join(out_dir, "libsmjtblio.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    cxx = os.environ.get("CXX", "g++")
+    subprocess.run(
+        [cxx, "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src,
+         "-o", so], check=True, capture_output=True
+    )
+    return so
+
+
+_tblio_lib = None
+_tblio_tried = False
+
+
+def _load_tblio():
+    global _tblio_lib, _tblio_tried
+    with _lock:
+        if _tblio_lib is not None or _tblio_tried:
+            return _tblio_lib
+        _tblio_tried = True
+        try:
+            lib = ctypes.CDLL(_build_tblio())
+        except Exception:
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.tbl_write.argtypes = [ctypes.c_char_p, i32p, i32p,
+                                  ctypes.c_int64, ctypes.c_int]
+        lib.tbl_write.restype = ctypes.c_int
+        lib.tbl_read.argtypes = [ctypes.c_char_p, i32p, i32p, ctypes.c_int64]
+        lib.tbl_read.restype = ctypes.c_int64
+        _tblio_lib = lib
+        return _tblio_lib
+
+
+def tblio_available() -> bool:
+    return _load_tblio() is not None
+
+
+def tbl_write(path: str, keys: np.ndarray, payloads: np.ndarray,
+              nthreads: int = 8) -> None:
+    lib = _load_tblio()
+    keys = np.ascontiguousarray(keys, np.int32)
+    payloads = np.ascontiguousarray(payloads, np.int32)
+    rc = lib.tbl_write(path.encode(), keys, payloads, keys.shape[0], nthreads)
+    if rc != 0:
+        raise IOError(f"tbl_write({path}) failed with {rc}")
+
+
+def tbl_read(path: str, cap: int):
+    lib = _load_tblio()
+    keys = np.empty(cap, np.int32)
+    payloads = np.empty(cap, np.int32)
+    n = lib.tbl_read(path.encode(), keys, payloads, cap)
+    if n < 0:
+        raise IOError(f"tbl_read({path}) failed with {n}")
+    return keys[:n], payloads[:n]
+
+
 def _load():
     global _lib, _tried
     with _lock:

@@ -304,7 +304,10 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
     """
     import functools as ft
 
-    lens_arr = jnp.asarray(np.asarray([nR, nS], dtype=np.int32))
+    # nR/nS may be traced scalars (distributed path) — the kernel reads
+    # them from SMEM either way
+    lens_arr = jnp.stack([jnp.asarray(nR, jnp.int32),
+                          jnp.asarray(nS, jnp.int32)])
     out = pl.pallas_call(
         ft.partial(_count_kernel, tile_rows=tile_rows),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),

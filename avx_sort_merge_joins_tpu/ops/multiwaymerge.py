@@ -247,11 +247,12 @@ def _mwaymerge_kernel(
         return produced, consumed
 
     logw = max(1, W - 1).bit_length()
-    # static worst-case trip count (dynamic early-exit via the fire guards)
-    max_rounds = (W * stride_rows * LANES + T - 1) // T + logw + 2
+    # trip count from the group's actual total (sub_len[0] is an SMEM read,
+    # so the bound is dynamic): ceil(total/T) root fires + warmup rounds
+    rounds = (sub_len[0] + T - 1) // T + logw + 2
     produced0 = tuple(jnp.int32(0) for _ in range(nnodes))
     consumed0 = tuple(jnp.int32(0) for _ in range(2 * nnodes + 1))
-    jax.lax.fori_loop(0, max_rounds, round_body, (produced0, consumed0))
+    jax.lax.fori_loop(0, rounds, round_body, (produced0, consumed0))
 
 
 def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
@@ -263,15 +264,25 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
     [g*fanin*stride_rows, ...) with length sum(lens in group).  The analog of
     avx_multiway_merge (avx_multiwaymerge.c:199-338).  ``payloads2d=None``
     runs the keys-only network (second return is None).
+
+    ``lens`` may be a traced jnp int32 vector (dynamic run lengths, e.g.
+    post-exchange in the distributed join) — its length must then already
+    be a multiple of fanin, and new_lens is returned as a jnp vector.
     """
-    lens = list(lens)
     assert fanin >= 2 and (fanin & (fanin - 1)) == 0
     assert stride_rows % tile_rows == 0, (
         "group output region must be whole output tiles")
-    while len(lens) % fanin != 0:
-        lens.append(0)
-    ngroups = len(lens) // fanin
-    lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
+    dynamic_lens = not isinstance(lens, (list, tuple))
+    if dynamic_lens:
+        assert lens.shape[0] % fanin == 0
+        ngroups = lens.shape[0] // fanin
+        lens_arr = lens.astype(jnp.int32)
+    else:
+        lens = list(lens)
+        while len(lens) % fanin != 0:
+            lens.append(0)
+        ngroups = len(lens) // fanin
+        lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
     nnodes = fanin - 1
     keys_only = payloads2d is None
     kshape = jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype)
@@ -315,7 +326,11 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*operands)
-    new_lens = [sum(lens[g * fanin:(g + 1) * fanin]) for g in range(ngroups)]
+    if dynamic_lens:
+        new_lens = jnp.sum(lens_arr.reshape(ngroups, fanin), axis=1)
+    else:
+        new_lens = [sum(lens[g * fanin:(g + 1) * fanin])
+                    for g in range(ngroups)]
     if keys_only:
         return out, None, new_lens
     return out[0], out[1], new_lens

@@ -138,3 +138,28 @@ def test_shuffle_preserves_multiset(rng):
     orig = np.sort(keys.copy())
     knuth_shuffle_keys(keys, GlibcRand(int(rng.integers(1, 1 << 30))))
     assert (np.sort(keys) == orig).all()
+
+
+def test_tblio_roundtrip(rng):
+    """Native .tbl writer/reader (csrc/tblio.cc) vs the Python fallback —
+    the reference's write_relation text format (generator.c:200-213)."""
+    import os
+    import tempfile
+
+    from avx_sort_merge_joins_tpu.datagen import generator as g
+    from avx_sort_merge_joins_tpu.types import Relation
+
+    n = 10_000
+    keys = rng.integers(-(10**9), 10**9, n).astype(np.int32)
+    pays = rng.integers(-(10**9), 10**9, n).astype(np.int32)
+    rel = Relation.from_numpy(keys, pays)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "T.tbl")
+        g.write_relation(rel, p)
+        with open(p) as f:
+            first = f.readline().split()
+        assert [int(first[0]), int(first[1])] == [keys[0], pays[0]]
+        back = g.read_relation(p)
+        bk, bp = back.to_numpy()
+        np.testing.assert_array_equal(bk, keys)
+        np.testing.assert_array_equal(bp, pays)

@@ -1,0 +1,54 @@
+"""Distributed join tests on the simulated 8-device CPU mesh — the
+multi-chip realization of the reference's cross-NUMA exchange
+(threadrelchunks all-to-all, sortmergejoin_multiway.c:504-518)."""
+
+import numpy as np
+import pytest
+
+from avx_sort_merge_joins_tpu.ops.mergejoin import merge_join_count_numpy
+from avx_sort_merge_joins_tpu.parallel import dist_join, dist_mway
+from avx_sort_merge_joins_tpu.parallel.mesh import make_mesh, shuffle_order
+from avx_sort_merge_joins_tpu.types import NumaStrategy
+
+
+def _workload(rng, nR, nS):
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    return rk, sk
+
+
+def test_dist_join_count(rng):
+    nR, nS = 5000, 9000
+    rk, sk = _workload(rng, nR, nS)
+    rp = np.arange(nR, dtype=np.int32)
+    sp = np.arange(nS, dtype=np.int32)
+    cnt, ov = dist_join.dist_join_count(rk, rp, sk, sp, nR, nS)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mway_join_count(rng):
+    nR, nS = 20000, 30000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=False)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mway_nonuniform_sizes(rng):
+    """Ragged final shard + nonunique keys."""
+    nR, nS = 10007, 14013
+    rk = rng.integers(1, 3000, nR).astype(np.int32)
+    sk = rng.integers(1, 3000, nS).astype(np.int32)
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=False, slack=3.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_shuffle_orders():
+    for strat in (NumaStrategy.NEXT, NumaStrategy.RING, NumaStrategy.RANDOM):
+        order = shuffle_order(strat, 8)
+        assert sorted(order.tolist()) == list(range(8)), strat
+    assert shuffle_order(NumaStrategy.NEXT, 8).tolist() == list(range(8))
