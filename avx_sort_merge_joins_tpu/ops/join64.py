@@ -1,0 +1,70 @@
+"""64-bit-key joins — the KEY_8B mode.
+
+The reference's --enable-key8B switches to 16-byte tuples with int64 keys
+(reference: src/types.h:23-29) and **forces the scalar sort/merge paths**
+because the AVX kernels only handle 8-byte tuples (main.c:871-877).  The
+TPU analog mirrors that split exactly: 64-bit keys travel as two int32
+planes (hi, bias-flipped lo — order-preserving under (hi, lo) lex compare
+without x64 mode) through the XLA baseline ("scalar") path, while the
+Pallas networks remain the 32-bit fast path.
+
+The pair sort itself also runs on the Pallas network: lex (key, payload) =
+(hi, lo_biased) is exactly the existing two-column network, so
+``sort64`` is vectorized; only the flag-carrying join count uses XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import multiwaymerge as mw
+
+LO_BIAS = np.int32(-(2**31))  # xor flips the sign bit: unsigned -> signed order
+
+
+def split64(keys64: np.ndarray):
+    """Host-side split of int64 keys into order-preserving int32 planes."""
+    keys64 = np.asarray(keys64, np.int64)
+    hi = (keys64 >> 32).astype(np.int32)
+    lo = (keys64 & 0xFFFFFFFF).astype(np.uint32).astype(np.int64)
+    lo_biased = (lo - 2**31).astype(np.int32)
+    return hi, lo_biased
+
+
+def join64(hi: np.ndarray, lo_biased: np.ndarray) -> np.ndarray:
+    """Inverse of split64 (host-side)."""
+    lo = (lo_biased.astype(np.int64) + 2**31).astype(np.uint64)
+    return (hi.astype(np.int64) << 32) | lo.astype(np.int64)
+
+
+def sort64(hi, lo_biased, n: int | None = None, fanin: int = 16):
+    """Sort int64 keys given as planes, via the Pallas pair network
+    (lex (hi, lo) == int64 order).  Returns sorted (hi, lo_biased)."""
+    return mw.multiway_sort(hi, lo_biased, n, fanin=fanin)
+
+
+def merge_join_count_xla64(rhi, rlo, shi, slo, nR: int, nS: int):
+    """Match count over 64-bit keys via the tag-sort rank reduction
+    (the scalar merge-join analog for KEY_8B).  Exact for counts < 2^31.
+    """
+    hi = jnp.concatenate([rhi[:nR], shi[:nS]])
+    lo = jnp.concatenate([rlo[:nR], slo[:nS]])
+    flags = jnp.concatenate([jnp.zeros(nR, jnp.int32),
+                             jnp.ones(nS, jnp.int32)])
+    _, _, mf = jax.lax.sort((hi, lo, flags), num_keys=3)
+    s_prefix = jnp.cumsum(mf)
+    lt_counts = jnp.sum(jnp.where(mf == 0, s_prefix, 0))
+    _, _, mf2 = jax.lax.sort((hi, lo, 1 - flags), num_keys=3)
+    s_prefix2 = jnp.cumsum(1 - mf2)
+    le_counts = jnp.sum(jnp.where(mf2 == 1, s_prefix2, 0))
+    return le_counts - lt_counts
+
+
+def merge_join_count_numpy64(rkeys64: np.ndarray, skeys64: np.ndarray) -> int:
+    rk, rc = np.unique(rkeys64, return_counts=True)
+    sk, sc = np.unique(skeys64, return_counts=True)
+    _, ri, si = np.intersect1d(rk, sk, assume_unique=True,
+                               return_indices=True)
+    return int(np.sum(rc[ri].astype(np.int64) * sc[si].astype(np.int64)))

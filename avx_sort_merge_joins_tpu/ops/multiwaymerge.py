@@ -86,6 +86,7 @@ def _select_merge(ak, ap, bk, bp):
 def _mwaymerge_kernel(
     lens_ref, *refs,
     fanin: int, stride_rows: int, tile_rows: int, keys_only: bool,
+    uniform: bool,
 ):
     if keys_only:
         (k_hbm, ok_hbm, fk, wk, wk2, rk_s, insem, outsem) = refs
@@ -100,26 +101,43 @@ def _mwaymerge_kernel(
     g = pl.program_id(0)
     run0 = g * W
 
+    if uniform:
+        # run lengths follow the sort composition's formula: run r holds
+        # clip(total - r*span, 0, span) tuples — no SMEM lens array (which
+        # would not scale to thousands of runs)
+        total_all = lens_ref[0]
+        span = lens_ref[1]
+
+        def run_len(r):
+            return jnp.clip(total_all - (run0 + r) * span, 0, span)
+    else:
+        def run_len(r):
+            return lens_ref[run0 + r]
+
     # leaf span: internal node m covers a contiguous range of runs; compute
     # statically by walking the heap.
     def leaf_span(m):
-        span = [m]
+        span_ = [m]
         runs = []
-        while span:
-            c = span.pop()
+        while span_:
+            c = span_.pop()
             if c >= nnodes:
                 runs.append(c - nnodes)
             else:
-                span.append(2 * c + 1)
-                span.append(2 * c + 2)
+                span_.append(2 * c + 1)
+                span_.append(2 * c + 2)
         return min(runs), max(runs)
 
     sub_len = []
     for m in range(nnodes):
         lo, hi = leaf_span(m)
-        s = jnp.int32(0)
-        for r in range(lo, hi + 1):
-            s = s + lens_ref[run0 + r]
+        if uniform:
+            s = jnp.clip(total_all - (run0 + lo) * span, 0,
+                         (hi - lo + 1) * span)
+        else:
+            s = jnp.int32(0)
+            for r in range(lo, hi + 1):
+                s = s + lens_ref[run0 + r]
         sub_len.append(s)
 
     out_base_rows = run0 * stride_rows
@@ -131,7 +149,7 @@ def _mwaymerge_kernel(
         reference's half-full/done backpressure rule
         (avx_multiwaymerge.c:292-295)."""
         if c >= nnodes:  # an input run: always fully produced
-            ln = lens_ref[run0 + c - nnodes]
+            ln = run_len(c - nnodes)
             return ln - consumed[c], jnp.bool_(True)
         avail = produced[c] - consumed[c]
         return avail, (avail >= T) | (produced[c] >= sub_len[c])
@@ -255,8 +273,9 @@ def _mwaymerge_kernel(
     jax.lax.fori_loop(0, rounds, round_body, (produced0, consumed0))
 
 
-def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
-                   fanin: int, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
+def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
+                   fanin: int, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
+                   uniform_lens=None):
     """Merge groups of ``fanin`` consecutive ascending runs, each run i at
     rows [i*stride_rows, ...) with logical length lens[i].
 
@@ -268,21 +287,35 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
     ``lens`` may be a traced jnp int32 vector (dynamic run lengths, e.g.
     post-exchange in the distributed join) — its length must then already
     be a multiple of fanin, and new_lens is returned as a jnp vector.
+
+    ``uniform_lens=(nruns, total, span)`` replaces the lens array with the
+    sort composition's formula len(r) = clip(total - r*span, 0, span) —
+    only two SMEM scalars regardless of run count (a lens array at
+    thousands of runs exceeds the SMEM budget).  ``lens`` is then ignored.
     """
     assert fanin >= 2 and (fanin & (fanin - 1)) == 0
     assert stride_rows % tile_rows == 0, (
         "group output region must be whole output tiles")
-    dynamic_lens = not isinstance(lens, (list, tuple))
-    if dynamic_lens:
-        assert lens.shape[0] % fanin == 0
-        ngroups = lens.shape[0] // fanin
-        lens_arr = lens.astype(jnp.int32)
+    uniform = uniform_lens is not None
+    dynamic_lens = False
+    if uniform:
+        nruns, total, span = uniform_lens
+        ngroups = -(-nruns // fanin)
+        lens_arr = jnp.asarray(np.asarray([total, span], dtype=np.int32))
+        new_lens = [max(0, min(total - g * fanin * span, fanin * span))
+                    for g in range(ngroups)]
     else:
-        lens = list(lens)
-        while len(lens) % fanin != 0:
-            lens.append(0)
-        ngroups = len(lens) // fanin
-        lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
+        dynamic_lens = not isinstance(lens, (list, tuple))
+        if dynamic_lens:
+            assert lens.shape[0] % fanin == 0
+            ngroups = lens.shape[0] // fanin
+            lens_arr = lens.astype(jnp.int32)
+        else:
+            lens = list(lens)
+            while len(lens) % fanin != 0:
+                lens.append(0)
+            ngroups = len(lens) // fanin
+            lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
     nnodes = fanin - 1
     keys_only = payloads2d is None
     kshape = jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype)
@@ -313,7 +346,7 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
     out = pl.pallas_call(
         functools.partial(_mwaymerge_kernel, fanin=fanin,
                           stride_rows=stride_rows, tile_rows=tile_rows,
-                          keys_only=keys_only),
+                          keys_only=keys_only, uniform=uniform),
         out_shape=out_shape,
         grid=(ngroups,),
         in_specs=in_specs,
@@ -326,11 +359,12 @@ def multiway_merge(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*operands)
-    if dynamic_lens:
-        new_lens = jnp.sum(lens_arr.reshape(ngroups, fanin), axis=1)
-    else:
-        new_lens = [sum(lens[g * fanin:(g + 1) * fanin])
-                    for g in range(ngroups)]
+    if not uniform:
+        if dynamic_lens:
+            new_lens = jnp.sum(lens_arr.reshape(ngroups, fanin), axis=1)
+        else:
+            new_lens = [sum(lens[g * fanin:(g + 1) * fanin])
+                        for g in range(ngroups)]
     if keys_only:
         return out, None, new_lens
     return out[0], out[1], new_lens
@@ -367,13 +401,16 @@ def multiway_sort(keys, payloads, n: int | None = None,
     ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
     if not keys_only:
         ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
-    lens = [block_rows * LANES] * nblocks
-    lens[-1] = n - (nblocks - 1) * block_rows * LANES
     stride = block_rows
-    while len(lens) > 1:
-        w = min(fanin, 1 << (len(lens) - 1).bit_length())
-        ks, ps, lens = multiway_merge(ks, ps, lens, stride, w, tile_rows)
+    nruns = nblocks
+    span = block_rows * LANES
+    while nruns > 1:
+        w = min(fanin, 1 << (nruns - 1).bit_length())
+        ks, ps, lens = multiway_merge(ks, ps, None, stride, w, tile_rows,
+                                      uniform_lens=(nruns, n, span))
         stride *= w
+        span *= w
+        nruns = len(lens)
     if return_2d:
         # padded (rows,128) layouts with the spare window tile intact —
         # directly consumable by the streaming count/merge kernels

@@ -1,0 +1,43 @@
+"""KEY_8B (int64 key) mode tests — the reference's --enable-key8B forces
+the scalar paths (main.c:871-877); here the plane-split sort runs on the
+Pallas pair network and the count uses the XLA rank reduction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avx_sort_merge_joins_tpu.ops import join64
+
+
+def test_split_roundtrip(rng):
+    k = rng.integers(-(2**62), 2**62, 10000).astype(np.int64)
+    hi, lo = join64.split64(k)
+    np.testing.assert_array_equal(join64.join64(hi, lo), k)
+
+
+def test_plane_order_matches_int64(rng):
+    k = rng.integers(-(2**62), 2**62, 20000).astype(np.int64)
+    hi, lo = join64.split64(k)
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(k[order], np.sort(k, kind="stable"))
+
+
+def test_sort64(rng):
+    n = 50000
+    k = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+    hi, lo = join64.split64(k)
+    shi, slo = join64.sort64(jnp.asarray(hi), jnp.asarray(lo), n)
+    got = join64.join64(np.asarray(shi), np.asarray(slo))
+    np.testing.assert_array_equal(got, np.sort(k))
+
+
+def test_count64_vs_oracle(rng):
+    nR, nS = 20000, 30000
+    rk = rng.integers(0, 2**40, nR).astype(np.int64)
+    sk = np.concatenate([rk[rng.integers(0, nR, nS - 1000)],
+                         rng.integers(0, 2**40, 1000)]).astype(np.int64)
+    rhi, rlo = join64.split64(rk)
+    shi, slo = join64.split64(sk)
+    got = int(join64.merge_join_count_xla64(
+        jnp.asarray(rhi), jnp.asarray(rlo),
+        jnp.asarray(shi), jnp.asarray(slo), nR, nS))
+    assert got == join64.merge_join_count_numpy64(rk, sk)
