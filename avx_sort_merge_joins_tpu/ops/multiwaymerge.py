@@ -161,6 +161,9 @@ def _mwaymerge_kernel(
             e = consumed[c]
             elem = (run0 + run) * stride_rows * LANES + e
             row, skip = elem // LANES, elem % LANES
+            # padding runs (len 0) can sit past the physical array — clamp
+            # the window start; masked junk never enters the merge
+            row = jnp.minimum(row, k_hbm.shape[0] - (tile_rows + 8))
             cp1 = pltpu.make_async_copy(
                 k_hbm.at[pl.ds(row, tile_rows + 8), :], wkbuf, insem.at[0])
             cp1.start()
