@@ -37,7 +37,8 @@ from jax import shard_map
 
 from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
-from .mesh import AXIS, make_mesh
+from ..types import NumaStrategy
+from .mesh import AXIS, make_mesh, shuffle_order
 
 
 def _local_sorted_2d(keys, n_cap: int, block_rows: int, tile_rows: int,
@@ -124,11 +125,47 @@ def _merge_received(rk_flat, counts, n_chips: int, cap: int,
     return k2, total
 
 
+def _exchange(bflat, n_chips: int, cap: int, schedule):
+    """Deliver bucket d of every chip to chip d.
+
+    ``schedule=None`` uses one fused all_to_all; otherwise it is a host
+    list of rotation offsets (from :func:`..parallel.mesh.shuffle_order` —
+    the NEXT/RING/RANDOM orders of numa_shuffle.c:55-85) realized as
+    collective_permute rounds, which XLA's scheduler can overlap with
+    surrounding compute (the ICI analog of the reference overlapping
+    remote reads with merging).
+    """
+    if schedule is None:
+        return jax.lax.all_to_all(bflat, AXIS, 0, 0, tiled=True)
+    b2 = bflat.reshape(n_chips, cap)
+    me = jax.lax.axis_index(AXIS)
+    out = jnp.zeros_like(b2)
+    naxis = n_chips
+    for off in schedule:
+        off = int(off)
+        if off == 0:
+            # own bucket stays local
+            piece = jnp.take(b2, me % n_chips, axis=0,
+                             indices_are_sorted=False)
+            src = me
+        else:
+            # chip x sends bucket[(x+off) mod n] to chip (x+off) mod n
+            perm = [(x, (x + off) % naxis) for x in range(naxis)]
+            dest = (me + off) % n_chips
+            piece = jnp.take(b2, dest, axis=0)
+            piece = jax.lax.ppermute(piece, AXIS, perm)
+            src = (me - off) % n_chips
+        out = jax.lax.dynamic_update_slice(out, piece[None, :],
+                                           (src, jnp.int32(0)))
+    return out.reshape(-1)
+
+
 def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                          mesh: Optional[Mesh] = None, slack: float = 2.0,
                          block_rows: int = 256, tile_rows: int = 128,
                          fanin: int = 16,
-                         use_pallas: Optional[bool] = None):
+                         use_pallas: Optional[bool] = None,
+                         numa_strategy: Optional[str] = None):
     """Distributed m-way equi-join match count over a 1-D chip mesh.
 
     Returns (count, overflow) host ints; overflow must be 0 (raise slack).
@@ -139,6 +176,11 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
+    schedule = None
+    if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
+        schedule = shuffle_order(numa_strategy, n_chips).tolist()
+    elif numa_strategy == NumaStrategy.NEXT:
+        schedule = list(range(n_chips))
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
@@ -170,26 +212,31 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                               use_pallas)
         s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
                               use_pallas)
-        # splitters from the global key range
-        big = jnp.int32(2**31 - 2)
-        idx_r = jnp.arange(rk.shape[0], dtype=jnp.int32)
-        idx_s = jnp.arange(sk.shape[0], dtype=jnp.int32)
-        lo = jnp.minimum(
-            jnp.min(jnp.where(idx_r < nvr, rk, big)),
-            jnp.min(jnp.where(idx_s < nvs, sk, big)))
-        hi = jnp.maximum(
-            jnp.max(jnp.where(idx_r < nvr, rk, -big)),
-            jnp.max(jnp.where(idx_s < nvs, sk, -big)))
-        lo = jax.lax.pmin(lo, AXIS)
-        hi = jax.lax.pmax(hi, AXIS)
-        span = jnp.maximum((hi - lo + 1).astype(jnp.int64), 1)
-        bounds = [lo + (span * d // n_chips).astype(jnp.int32)
-                  for d in range(n_chips)]
+        # skew-aware equi-depth splitters: each chip contributes local
+        # quantiles of its sorted runs; the pooled, sorted samples yield
+        # balanced bounds even under Zipf skew — the TPU answer to the
+        # reference's uniform radix-bit assumption (heavy single keys still
+        # land whole on one chip; the slack factor + overflow check guard)
+        nq = 16  # quantiles per relation per chip
+        rflat = r2.reshape(-1)
+        sflat = s2.reshape(-1)
+        qs = []
+        for j in range(nq):
+            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
+            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
+            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
+            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
+        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+        samples = jax.lax.sort((samples,), num_keys=1)[0]
+        ns = samples.shape[0]
+        bounds = [jnp.int32(-(2**31) + 1)]
+        for d in range(1, n_chips):
+            bounds.append(samples[(ns * d) // n_chips])
         # exchange of contiguous sorted slices
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
-        gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
+        grk = _exchange(brk, n_chips, cap_r, schedule)
+        gsk = _exchange(bsk, n_chips, cap_s, schedule)
         grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
         gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
         # phase 3: k-way merge of received runs

@@ -52,3 +52,37 @@ def test_shuffle_orders():
         order = shuffle_order(strat, 8)
         assert sorted(order.tolist()) == list(range(8)), strat
     assert shuffle_order(NumaStrategy.NEXT, 8).tolist() == list(range(8))
+
+
+@pytest.mark.parametrize("z,slack", [(0.75, 3.0), (1.0, 4.0)])
+def test_dist_mway_zipf_skew(z, slack):
+    """Skew-aware equi-depth splitters under Zipf foreign keys — the
+    BASELINE mpsm/dist skew configs (genzipf z=0.75/1.0)."""
+    from avx_sort_merge_joins_tpu.datagen import (create_relation_pk,
+                                                  create_relation_zipf,
+                                                  seed_generator)
+
+    nR, nS = 20_000, 30_000
+    seed_generator(42)
+    R = create_relation_pk(nR)
+    seed_generator(43)
+    S = create_relation_zipf(nS, nR, z)
+    rk, _ = R.to_numpy()
+    sk, _ = S.to_numpy()
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=False, slack=slack)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+@pytest.mark.parametrize("strategy", ["NEXT", "RING", "RANDOM"])
+def test_dist_mway_permute_schedules(rng, strategy):
+    """collective_permute-round exchange under each shuffle order
+    (numa_shuffle.c:55-85 -> ICI schedules)."""
+    nR, nS = 10_000, 15_000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    cnt, ov = dist_mway.dist_mway_join_count(
+        rk, sk, nR, nS, use_pallas=False, numa_strategy=strategy)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
