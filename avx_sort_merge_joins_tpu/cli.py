@@ -51,6 +51,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="produce join output tuples, not only the count")
     p.add_argument("--persist", metavar="DIR", default=None,
                    help="write R.tbl/S.tbl/Out.tbl (generator.c:200-213)")
+    p.add_argument("--key8b", action="store_true",
+                   help="64-bit keys (the KEY_8B build, forces the scalar "
+                        "count path like the reference, main.c:871-877)")
+    p.add_argument("-o", "--perfout", metavar="DIR", default=None,
+                   help="write a jax.profiler trace (the PCM perf-counter "
+                        "output analog, main.c:738)")
+    p.add_argument("-p", "--perfconf", default=None,
+                   help="accepted for flag parity (PCM event config has no "
+                        "TPU analog; traces carry all counters)")
+    p.add_argument("--mapping-file", default=None,
+                   help="device mapping file (cpu-mapping.txt analog)")
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -126,10 +137,59 @@ def run_join(args, R, S):
     raise SystemExit(f"unknown algorithm {args.algo}")
 
 
+def _run_key8b(args):
+    """64-bit-key join: plane-split relations through the scalar count path
+    (mirrors the reference's KEY_8B forcing scalar sort/merge)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from . import datagen
+    from .ops import join64
+    from .types import JoinResult
+
+    datagen.seed_generator(args.r_seed)
+    rng = np.random.default_rng(args.r_seed)
+    rk = rng.permutation(np.arange(1, args.r_size + 1,
+                                   dtype=np.int64)) << 16
+    rng2 = np.random.default_rng(args.s_seed)
+    sk = rk[rng2.integers(0, args.r_size, args.s_size)]
+    rhi, rlo = join64.split64(rk)
+    shi, slo = join64.split64(sk)
+    t0 = time.perf_counter()
+    cnt = int(join64.merge_join_count_xla64(
+        jnp.asarray(rhi), jnp.asarray(rlo), jnp.asarray(shi),
+        jnp.asarray(slo), args.r_size, args.s_size))
+    dt = time.perf_counter() - t0
+    n = args.r_size + args.s_size
+    return JoinResult(totalresults=cnt, resultlist=[],
+                      phases={"total": dt}, throughput=n / dt), n
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    R, S = make_relations(args)
-    result = run_join(args, R, S)
+    if args.mapping_file:
+        # device order for the mesh (cpu-mapping.txt analog)
+        from .parallel import mesh as mesh_mod
+        mesh_mod.DEFAULT_MESH = mesh_mod.mesh_from_mapping_file(
+            args.mapping_file)
+    trace_ctx = None
+    if args.perfout:
+        from .utils.profiling import trace
+        trace_ctx = trace(args.perfout)
+        trace_ctx.__enter__()
+    try:
+        if args.key8b:
+            result, ntotal = _run_key8b(args)
+            print(f"[STATS] NUMTUPLES {ntotal}, TUPLES-PER-SECOND "
+                  f"{result.throughput:.0f}", file=sys.stderr)
+            print(f"Results = {result.totalresults}")
+            return 0
+        R, S = make_relations(args)
+        result = run_join(args, R, S)
+    finally:
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
     # statistics to stderr, results to stdout (joincommon.c:175-196 split)
     for name, secs in result.phases.items():
         print(f"[STATS] {name:12s} {secs * 1e6:12.1f} usecs", file=sys.stderr)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from ..types import JoinConfig, JoinResult, Relation, ThreadResult
 from ..ops import materialize, mergejoin, multiwaymerge as mw
@@ -37,16 +38,35 @@ TILE_ROWS_MWAY = 256
 COUNT_TILE_ROWS = 128  # the count kernel's packed segscan wants T <= 16384
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
-                       block_rows: int, tile_rows: int):
+                       block_rows: int, tile_rows: int,
+                       scalar_sort: bool = False,
+                       scalar_merge: bool = False):
     """Count-only m-way join: keys-only sorts (payloads never influence the
     match count — the reference's default non-materializing run) + fused
-    zero-write merge-join count."""
-    rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin,
-                              return_2d=True)
-    sks, _ = mw.multiway_sort(sk, None, nS, block_rows, tile_rows, fanin,
-                              return_2d=True)
+    zero-write merge-join count.  ``scalar_sort``/``scalar_merge`` swap in
+    the XLA baselines (the reference's --scalarsort/--scalarmerge runs,
+    main.c:727-728)."""
+    if scalar_merge:
+        rks = jax.lax.sort((rk[:nR],), num_keys=1)[0]
+        sks = jax.lax.sort((sk[:nS],), num_keys=1)[0]
+        return mergejoin.merge_join_count_xla(rks, sks, nR, nS)
+    if scalar_sort:
+        def sorted2d(k, n):
+            from ..ops.bitonic import KEY_POS_INF, LANES
+            ks = jax.lax.sort((k[:n],), num_keys=1)[0]
+            rows = sort_ops.padded_rows(n, block_rows, tile_rows)
+            kf = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32)
+            return kf.at[:n].set(ks).reshape(rows, LANES)
+
+        rks = sorted2d(rk, nR)
+        sks = sorted2d(sk, nS)
+    else:
+        rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows,
+                                  fanin, return_2d=True)
+        sks, _ = mw.multiway_sort(sk, None, nS, block_rows, tile_rows,
+                                  fanin, return_2d=True)
     return mergejoin.merge_join_count_fused(rks, sks, nR, nS,
                                             COUNT_TILE_ROWS)
 
@@ -91,8 +111,12 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
 
     def pipeline(_):
         return _mway_count_device(R.keys, S.keys, nR, nS, fanin,
-                                  block_rows, tile_rows)
+                                  block_rows, tile_rows,
+                                  config.scalar_sort, config.scalar_merge)
 
     stats, timings = common.run_phases({"sortmerge": pipeline})
-    matches = mergejoin.finish_count_fused(stats)
+    if config.scalar_merge:
+        matches = int(stats)
+    else:
+        matches = mergejoin.finish_count_fused(stats)
     return common.make_result(matches, nR, nS, timings)

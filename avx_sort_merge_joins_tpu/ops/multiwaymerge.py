@@ -373,6 +373,27 @@ def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
     return out[0], out[1], new_lens
 
 
+def scalar_multiway_merge(runs):
+    """Host-side k-way merge oracle — the analog of the reference's three
+    scalar tree variants (scalar_multiwaymerge.c: _decomposed/_modulo/
+    _bitand differ only in ring-buffer index arithmetic, which has no
+    analog here; one heap merge stands in for all three).  ``runs`` is a
+    list of sorted (keys, payloads) numpy pairs; returns merged pair."""
+    import heapq
+
+    ks = np.concatenate([r[0] for r in runs]) if runs else np.zeros(0, np.int32)
+    ps = np.concatenate([r[1] for r in runs]) if runs else np.zeros(0, np.int32)
+    merged = heapq.merge(*[
+        zip(np.asarray(r[0]).tolist(), np.asarray(r[1]).tolist())
+        for r in runs
+    ])
+    pairs = list(merged)
+    if not pairs:
+        return ks[:0], ps[:0]
+    k, p = zip(*pairs)
+    return np.asarray(k, np.int32), np.asarray(p, np.int32)
+
+
 def multiway_sort(keys, payloads, n: int | None = None,
                   block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
                   tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,

@@ -31,6 +31,19 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def mesh_from_mapping_file(path: str) -> Mesh:
+    """Build a mesh from a device-mapping file — the analog of the
+    reference's optional ``cpu-mapping.txt`` custom topology (format
+    ``NDEV id0 id1 ... idN``, cpu_mapping.h:24-25, cpu_mapping.c:46-80):
+    logical position i runs on physical device ids[i]."""
+    with open(path) as f:
+        tokens = f.read().split()
+    n = int(tokens[0])
+    ids = [int(t) for t in tokens[1:1 + n]]
+    devices = jax.devices()
+    return Mesh(np.asarray([devices[i] for i in ids]), (AXIS,))
+
+
 def sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading axis over the mesh (per-chip shard = the reference's
     NUMA-local chunk, generator.c:352-404)."""
