@@ -79,18 +79,18 @@ def cmpex(k, p, d, asc):
         kv_dn = _roll(k, d, 1)          # value from lane-d
         kv = jnp.where(lo, kv_up, kv_dn)
         if p is None:
-            lt = k < kv
-            le = k <= kv
-            pv = None
-        else:
-            pv_up = _roll(p, LANES - d, 1)
-            pv_dn = _roll(p, d, 1)
-            pv = jnp.where(lo, pv_up, pv_dn)
-            lt, le = lex_lt_le(k, p, kv, pv)
+            # keys-only: one min/max pair replaces the lex-compare + keep
+            # logic (ties keep identical values on both sides)
+            want_min = jnp.logical_not(jnp.logical_xor(lo, asc))
+            return (jnp.where(want_min, jnp.minimum(k, kv),
+                              jnp.maximum(k, kv)), None)
+        pv_up = _roll(p, LANES - d, 1)
+        pv_dn = _roll(p, d, 1)
+        pv = jnp.where(lo, pv_up, pv_dn)
+        lt, le = lex_lt_le(k, p, kv, pv)
         role_lo = jnp.logical_not(jnp.logical_xor(lo, asc))
         keep = (role_lo & le) | (jnp.logical_not(role_lo) & jnp.logical_not(lt))
-        return (jnp.where(keep, k, kv),
-                None if p is None else jnp.where(keep, p, pv))
+        return jnp.where(keep, k, kv), jnp.where(keep, p, pv)
 
     dr = d // LANES
     r = k.shape[0]
@@ -145,9 +145,14 @@ def bitonic_sort(k, p, descending):
     logn = n.bit_length() - 1
     assert 1 << logn == n, "tile size must be a power of two"
     idx = flat_index(k.shape)
+    static_dir = isinstance(descending, (bool, np.bool_))
     for kk in range(1, logn + 1):
         asc = ((idx >> kk) & 1) == 0
-        asc = jnp.logical_xor(asc, descending)
+        if static_dir:
+            if descending:
+                asc = jnp.logical_not(asc)
+        else:
+            asc = jnp.logical_xor(asc, descending)
         d = 1 << (kk - 1)
         while d >= 1:
             k, p = cmpex(k, p, d, asc)

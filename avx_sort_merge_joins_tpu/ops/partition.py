@@ -81,7 +81,9 @@ def _hist_kernel(pid_ref, out_ref, *, fanout: int):
                 else jnp.roll(rel, s, 1)
             acc = acc + jnp.sum((rot == lane).astype(jnp.int32), axis=0,
                                 keepdims=True)
-        out_ref[0, pl.ds(base, LANES)] = acc[0]
+        # the minor-most output block must be 8 sublanes tall — broadcast
+        # the counts row (callers read every 8th row)
+        out_ref[:, pl.ds(base, LANES)] = jnp.broadcast_to(acc, (8, LANES))
 
 
 def radix_hist(keys2d, nradixbits: int, bitshift: int = 0):
@@ -97,15 +99,19 @@ def radix_hist(keys2d, nradixbits: int, bitshift: int = 0):
     fpad = max(fanout, LANES)
     out = pl.pallas_call(
         functools.partial(_hist_kernel, fanout=fanout),
-        out_shape=jax.ShapeDtypeStruct((ntiles, fpad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ntiles * 8, fpad), jnp.int32),
         grid=(ntiles,),
         in_specs=[pl.BlockSpec((tile, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, fpad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, fpad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=sort_ops._interpret(),
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled rotation loop keeps several tile temporaries live
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(pid)
-    return out[:, :fanout]
+    return out[::8, :fanout]
 
 
 def radix_hist_xla(keys, nradixbits: int, bitshift: int = 0):
