@@ -67,25 +67,43 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_relations(args):
+    """Workload construction, mirroring main.c:534-588 exactly:
+
+    default      R = parallel_create_relation(|R|, maxid=|R|)   (unique)
+                 S = parallel_create_relation(|S|, maxid=|R|)   (uniform fk)
+                     or create_relation_zipf under --skew
+    --non-unique R, S = create_relation_nonunique(size, |R|)
+    --full-range R = create_relation_nonunique(|R|, INT_MAX)
+                 S = create_relation_fk_from_pk(R, |S|)
+    """
     from . import datagen
-    from .types import Relation
 
     info = lambda msg: print(f"[INFO ] {msg}", file=sys.stderr)
     datagen.seed_generator(args.r_seed)
-    if args.non_unique:
-        maxid = (2**31 - 2) if args.full_range else args.r_size
-        info(f"Creating non-unique R with {args.r_size} tuples, maxid {maxid}")
-        R = datagen.create_relation_nonunique(args.r_size, maxid)
+    if args.full_range:
+        info(f"Creating full-range R with {args.r_size} tuples")
+        R = datagen.create_relation_nonunique(args.r_size, 2**31 - 1)
+    elif args.non_unique:
+        info(f"Creating non-unique R with {args.r_size} tuples")
+        R = datagen.create_relation_nonunique(args.r_size, args.r_size)
     else:
-        info(f"Creating unique pk R with {args.r_size} tuples")
-        R = datagen.create_relation_pk(args.r_size)
+        info(f"Creating unique R with {args.r_size} tuples")
+        R = datagen.parallel_create_relation(args.r_size, args.r_size,
+                                             args.nthreads)
     datagen.seed_generator(args.s_seed)
-    if args.skew > 0:
+    if args.full_range:
+        info(f"Creating fk-from-pk S with {args.s_size} tuples")
+        S = datagen.create_relation_fk_from_pk(R, args.s_size)
+    elif args.non_unique:
+        info(f"Creating non-unique S with {args.s_size} tuples")
+        S = datagen.create_relation_nonunique(args.s_size, args.r_size)
+    elif args.skew > 0:
         info(f"Creating Zipf S with {args.s_size} tuples, z={args.skew}")
         S = datagen.create_relation_zipf(args.s_size, args.r_size, args.skew)
     else:
-        info(f"Creating fk S with {args.s_size} tuples")
-        S = datagen.create_relation_fk(args.s_size, args.r_size)
+        info(f"Creating uniform fk S with {args.s_size} tuples")
+        S = datagen.parallel_create_relation(args.s_size, args.r_size,
+                                             args.nthreads)
     return R, S
 
 

@@ -1,0 +1,51 @@
+"""Golden parity vs the compiled reference binary.
+
+The constants below are ``Results =`` outputs of the reference's
+sortmergejoins binary (built from /root/reference with gcc -mavx on this
+host) for seeded workloads whose match counts depend on the exact RNG
+stream — passing these proves the datagen replica (glibc rand, Knuth
+shuffle, fk construction) and the join counting are bit-exact end to end:
+
+    sortmergejoins -a m-way -n 1 -r 100000 -s 100000 --non-unique -x X -y Y
+    sortmergejoins -a m-way -n 1 -r 100000 -s 200000 --full-range -x 42 -y 43
+"""
+
+import io
+import contextlib
+
+import pytest
+
+from avx_sort_merge_joins_tpu.cli import main
+
+# (argv, reference Results)
+GOLDEN = [
+    (["-a", "m-way", "-r", "100000", "-s", "100000", "--non-unique",
+      "-x", "42", "-y", "43"], 100336),
+    (["-a", "m-way", "-r", "100000", "-s", "100000", "--non-unique",
+      "-x", "7", "-y", "8"], 99575),
+    (["-a", "m-way", "-r", "100000", "-s", "200000", "--full-range",
+      "-x", "42", "-y", "43"], 200024),
+    (["-a", "m-way", "-r", "100000", "-s", "100000",
+      "-x", "42", "-y", "43"], 100000),  # default: uniform fk -> |S|
+]
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(argv) == 0
+    return int(buf.getvalue().split("Results = ")[1].split()[0])
+
+
+@pytest.mark.parametrize("argv,expected", GOLDEN,
+                         ids=["nonunique-42", "nonunique-7", "fullrange",
+                              "default"])
+def test_reference_golden_counts(argv, expected):
+    assert _run(argv) == expected
+
+
+def test_mpass_reference_golden():
+    # sortmergejoins -a m-pass -n 1 -r 100000 -s 100000 --non-unique -x 9 -y 10
+    argv = ["-a", "m-pass", "-r", "100000", "-s", "100000", "--non-unique",
+            "-x", "9", "-y", "10"]
+    assert _run(argv) == 100114
