@@ -5,6 +5,12 @@ The reference's merge_join materializes only the matching S tuple
 under JOIN_MATERIALIZE, written into a chained tuple buffer).  Equivalently:
 every S tuple is emitted once per matching R tuple, in S order per key.
 
+Parity note: the reference release cannot actually build its materialize
+path — --enable-materialize references a ``tuple_buffer.h`` that does not
+ship in the snapshot — so output-file comparison against the binary is
+impossible; count parity (tests/test_reference_parity.py) is the strongest
+available evidence and this module follows the documented semantics.
+
 TPU realization: per S element compute cntR(key) (how many R rows share its
 key) with a searchsorted rank difference over the sorted R keys, then
 compact matched S tuples to the front with one stable grouping sort — the
