@@ -109,14 +109,42 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
             shard_id=0)]
         return result
 
-    def pipeline(_):
-        return _mway_count_device(R.keys, S.keys, nR, nS, fanin,
-                                  block_rows, tile_rows,
-                                  config.scalar_sort, config.scalar_merge)
+    if config.scalar_merge or config.scalar_sort:
+        def pipeline(_):
+            return _mway_count_device(R.keys, S.keys, nR, nS, fanin,
+                                      block_rows, tile_rows,
+                                      config.scalar_sort,
+                                      config.scalar_merge)
 
-    stats, timings = common.run_phases({"sortmerge": pipeline})
-    if config.scalar_merge:
-        matches = int(stats)
-    else:
-        matches = mergejoin.finish_count_fused(stats)
+        stats, timings = common.run_phases({"sortmerge": pipeline})
+        if config.scalar_merge:
+            matches = int(stats)
+        else:
+            matches = mergejoin.finish_count_fused(stats)
+        return common.make_result(matches, nR, nS, timings)
+
+    # phase-split run (the reference's Sort/Merge/Join cycle stats,
+    # joincommon.c:175-196); each phase is its own device dispatch so the
+    # timings are honest at the cost of one extra sync each
+    sort_r = jax.jit(functools.partial(
+        mw.multiway_sort, n=nR, block_rows=block_rows, tile_rows=tile_rows,
+        fanin=fanin, return_2d=True))
+    sort_s = jax.jit(functools.partial(
+        mw.multiway_sort, n=nS, block_rows=block_rows, tile_rows=tile_rows,
+        fanin=fanin, return_2d=True))
+    count = jax.jit(functools.partial(
+        mergejoin.merge_join_count_fused, nR=nR, nS=nS,
+        tile_rows=COUNT_TILE_ROWS))
+
+    def sort_phase(_):
+        rks, _ = sort_r(R.keys, None)
+        sks, _ = sort_s(S.keys, None)
+        return rks, sks
+
+    def join_phase(sorted_pair):
+        return count(*sorted_pair)
+
+    stats, timings = common.run_phases({"sort": sort_phase,
+                                        "mergejoin": join_phase})
+    matches = mergejoin.finish_count_fused(stats)
     return common.make_result(matches, nR, nS, timings)

@@ -116,7 +116,7 @@ def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
 # --------------------------------------------------------------------------
 
 def _merge_pair_body(
-    j, lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
+    j, run_len, k_hbm, p_hbm, ok_hbm, op_hbm,
     wak, wap, wbk, wbp, rk, rp, insem, outsem,
     *, stride_rows: int, tile_rows: int, ascending: bool, swap: bool = False,
 ):
@@ -124,12 +124,12 @@ def _merge_pair_body(
 
     The body consumes stream A as the ascending run and B as the descending
     run; under a flipped (mirrored) sort the pair layout is (desc, asc), so
-    ``swap`` exchanges the roles."""
+    ``swap`` exchanges the roles.  ``run_len(i)`` gives run i's length."""
     T = tile_rows * LANES
     ia = 2 * j + (1 if swap else 0)
     ib = 2 * j + (0 if swap else 1)
-    la = lens_ref[ia]
-    lb = lens_ref[ib]
+    la = run_len(ia)
+    lb = run_len(ib)
     base_a = ia * stride_rows             # rows (ascending run)
     base_b = ib * stride_rows             # rows (descending run)
     out_base = 2 * j * stride_rows
@@ -138,7 +138,10 @@ def _merge_pair_body(
 
     def load(dst, src_hbm, row, sem):
         # DMA lengths must be whole sublane tiles (multiples of 8 rows);
-        # unaligned start rows are fine.
+        # unaligned start rows are fine.  Virtual (zero-length) padding runs
+        # can sit past the physical array — clamp; their windows are fully
+        # masked downstream.
+        row = jnp.clip(row, 0, src_hbm.shape[0] - (tile_rows + 8))
         cp = pltpu.make_async_copy(
             src_hbm.at[pl.ds(row, tile_rows + 8), :], dst, sem
         )
@@ -209,9 +212,16 @@ def _merge_pair_body(
 
 def _merge_pass_kernel(lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
                        wak, wap, wbk, wbp, rk, rp, insem, outsem,
-                       *, stride_rows: int, tile_rows: int, flip: bool):
+                       *, stride_rows: int, tile_rows: int, flip: bool,
+                       uniform: bool = False):
     j = pl.program_id(0)
-    args = (j, lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
+    if uniform:
+        def run_len(i):
+            return jnp.clip(lens_ref[0] - i * lens_ref[1], 0, lens_ref[1])
+    else:
+        def run_len(i):
+            return lens_ref[i]
+    args = (j, run_len, k_hbm, p_hbm, ok_hbm, op_hbm,
             wak, wap, wbk, wbp, rk, rp, insem, outsem)
     # output run j sorts ascending iff (j even) XOR flip; under flip the
     # input pair is (desc, asc) so the A/B roles swap.
@@ -229,21 +239,35 @@ def _merge_pass_kernel(lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
 
 
 def merge_pass(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
-               tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False):
+               tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False,
+               uniform_lens=None):
     """One pass of pairwise (asc, desc) -> alternating-direction run merges.
 
     ``lens`` are the logical run lengths in tuples (static Python ints);
     run i occupies rows [i*stride_rows, (i+1)*stride_rows).  Returns the new
     (keys, payloads) arrays and the merged lens list.
+
+    ``uniform_lens=(nruns, total, span)`` replaces the per-run SMEM array
+    with the sort-composition formula len(r) = clip(total - r*span, 0,
+    span) — two SMEM scalars regardless of run count (thousands of runs
+    would blow the SMEM budget at 128M+ tuples).
     """
-    lens = list(lens)
-    if len(lens) % 2 == 1:
-        lens.append(0)
-    npairs = len(lens) // 2
-    lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
+    if uniform_lens is not None:
+        nruns, total, span = uniform_lens
+        npairs = -(-nruns // 2)
+        lens_arr = jnp.asarray(np.asarray([total, span], dtype=np.int32))
+        new_lens = [max(0, min(total - g * 2 * span, 2 * span))
+                    for g in range(npairs)]
+    else:
+        lens = list(lens)
+        if len(lens) % 2 == 1:
+            lens.append(0)
+        npairs = len(lens) // 2
+        lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
     ok, op = pl.pallas_call(
         functools.partial(_merge_pass_kernel, stride_rows=stride_rows,
-                          tile_rows=tile_rows, flip=flip),
+                          tile_rows=tile_rows, flip=flip,
+                          uniform=uniform_lens is not None),
         out_shape=(
             jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
             jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
@@ -271,7 +295,8 @@ def merge_pass(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, keys2d, payloads2d)
-    new_lens = [lens[2 * i] + lens[2 * i + 1] for i in range(npairs)]
+    if uniform_lens is None:
+        new_lens = [lens[2 * i] + lens[2 * i + 1] for i in range(npairs)]
     return ok, op, new_lens
 
 
@@ -316,15 +341,18 @@ def sort2d(keys2d, payloads2d, n: int, block_rows: int = BLOCK_ROWS_DEFAULT,
     ks = keys2d[:sort_rows]
     ps = payloads2d[:sort_rows]
     ks, ps = sort_blocks(ks, ps, block_rows, alternating=nblocks > 1, flip=flip)
-    lens = [block_rows * LANES] * nblocks
-    lens[-1] = n - (nblocks - 1) * block_rows * LANES
     stride = block_rows
+    span = block_rows * LANES
+    nruns = nblocks
     # merge kernel may read/write one spare tile past the last run
     ks = jnp.concatenate([ks, keys2d[sort_rows:]], axis=0)
     ps = jnp.concatenate([ps, payloads2d[sort_rows:]], axis=0)
-    while len(lens) > 1:
-        ks, ps, lens = merge_pass(ks, ps, lens, stride, tile_rows, flip=flip)
+    while nruns > 1:
+        ks, ps, lens = merge_pass(ks, ps, None, stride, tile_rows, flip=flip,
+                                  uniform_lens=(nruns, n, span))
         stride *= 2
+        span *= 2
+        nruns = len(lens)
     return ks, ps
 
 
