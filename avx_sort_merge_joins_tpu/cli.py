@@ -184,8 +184,30 @@ def _run_key8b(args):
                       phases={"total": dt}, throughput=n / dt), n
 
 
+def _validate(args):
+    """Parameter validation mirroring main.c:860-886."""
+    if args.partfanout & (args.partfanout - 1):
+        print("[ERROR] partfanout must be a power of 2", file=sys.stderr)
+        sys.exit(2)
+    if args.nthreads > 1:
+        import jax
+
+        if args.partfanout < args.nthreads:
+            # reference requires fanout >= nthreads (main.c:866-869)
+            print("[WARN ] raising partfanout to the chip count",
+                  file=sys.stderr)
+            args.partfanout = 1 << (args.nthreads - 1).bit_length()
+        if len(jax.devices()) < args.nthreads:
+            print(f"[ERROR] {args.nthreads} chips requested, "
+                  f"{len(jax.devices())} available", file=sys.stderr)
+            sys.exit(2)
+    if args.key8b and (args.scalarsort or args.scalarmerge):
+        pass  # KEY_8B already implies the scalar path (main.c:871-877)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _validate(args)
     if args.mapping_file:
         # device order for the mesh (cpu-mapping.txt analog)
         from .parallel import mesh as mesh_mod

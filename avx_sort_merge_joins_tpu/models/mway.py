@@ -90,6 +90,18 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
 
+    if config.mwaybufsize_bytes:
+        # the -m merge-buffer knob (reference MWAY_MERGE_BUFFER_SIZE, an
+        # L3 budget — here the VMEM FIFO budget): solve for the largest
+        # power-of-two tile that fits fanin-1 ring nodes of
+        # (FIFO_TILES+1) tiles each
+        per_tile = (fanin - 1) * (mw.FIFO_TILES + 1) * 128 * 4
+        tr = 128
+        while tr * 2 * per_tile <= config.mwaybufsize_bytes and tr < 1024:
+            tr *= 2
+        tile_rows = tr
+        block_rows = max(block_rows, tile_rows)
+
     if config.materialize:
         import numpy as np
 
