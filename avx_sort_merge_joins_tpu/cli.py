@@ -128,6 +128,12 @@ def run_join(args, R, S):
         if args.algo == "m-way":
             cnt, overflow = dist_mway.dist_mway_join_count(
                 R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
+                fanin=args.partfanout, numa_strategy=args.numastrategy
+                if args.numastrategy != "NEXT" else None)
+        elif args.algo == "mpsm":
+            from .parallel import dist_mpsm
+            cnt, overflow = dist_mpsm.dist_mpsm_join_count(
+                R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
                 fanin=args.partfanout)
         else:
             cnt, overflow = dist_join.dist_join_count(

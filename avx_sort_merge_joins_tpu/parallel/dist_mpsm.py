@@ -1,0 +1,164 @@
+"""Distributed MPSM join (Albutiu et al. PVLDB'12) over a chip mesh.
+
+MPSM's defining asymmetry: **R is globally range-partitioned, S is only
+sorted locally and never repartitioned** — every worker instead scans all
+workers' S runs for its own key range.  On a shared-memory NUMA machine the
+scan is a remote read; on TPU the honest realization is a ring: the
+per-chip sorted S runs circulate via ``ppermute`` for n-1 rounds, and each
+chip counts its owned R range against the run passing through — S moves
+once around the ring ((n-1)/n of |S| total ICI traffic), R never moves
+after its one range exchange, matching the paper's communication shape.
+
+Skew: R's range splitters come from pooled equi-depth quantile samples of
+both relations (same scheme as dist_mway), so Zipf-heavy S regions spread
+the matching R ranges evenly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import mergejoin
+from ..ops.bitonic import KEY_POS_INF, LANES
+from .dist_mway import _local_sorted_2d, _slice_buckets
+from .mesh import AXIS, make_mesh
+
+
+def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
+                         mesh: Optional[Mesh] = None, slack: float = 2.0,
+                         block_rows: int = 256, tile_rows: int = 128,
+                         fanin: int = 16,
+                         use_pallas: Optional[bool] = None):
+    """MPSM equi-join match count.  Returns (count, overflow) host ints."""
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+    cap_r = max(tile_elems,
+                -(-int(shard_r / n_chips * slack) // tile_elems) * tile_elems)
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    nv_r = np.full(n_chips, shard_r, np.int32)
+    nv_r[-1] = n_r - shard_r * (n_chips - 1)
+    nv_s = np.full(n_chips, shard_s, np.int32)
+    nv_s[-1] = n_s - shard_s * (n_chips - 1)
+
+    def shard_fn(rk, sk, nvr, nvs):
+        rk, sk = rk[0], sk[0]
+        nvr, nvs = nvr[0], nvs[0]
+        # local sorts (phase 1: S runs stay local forever)
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        # skew-aware equi-depth splitters (pooled quantiles of R and S)
+        nq = 16
+        rflat, sflat = r2.reshape(-1), s2.reshape(-1)
+        qs = []
+        for j in range(nq):
+            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
+            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
+            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
+            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
+        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+        samples = jax.lax.sort((samples,), num_keys=1)[0]
+        ns_ = samples.shape[0]
+        bounds = [jnp.int32(-(2**31) + 1)]
+        for d in range(1, n_chips):
+            bounds.append(samples[(ns_ * d) // n_chips])
+        me = jax.lax.axis_index(AXIS)
+        # chip d owns keys in [bounds[d], bounds[d+1]) — upper EXCLUSIVE to
+        # match _slice_buckets' R ranges exactly (last chip unbounded)
+        my_lo = jnp.stack(bounds)[me]
+        my_next = jnp.stack(bounds[1:] + [jnp.int32(2**31 - 1)])[me]
+
+        # phase 2: exchange R only (contiguous sorted slices)
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
+        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+        # my owned R range = k-way mergeable runs; for counting, each
+        # received run can be counted independently (count is additive over
+        # R runs), so no merge is needed at all — MPSM's "no global R merge"
+        # shortcut applies to counting.
+        r_runs = grk.reshape(n_chips, cap_r)
+
+        # phase 3: ring the S runs; each round count my R runs against the
+        # S run passing through, masked to my key range
+        perm = [(x, (x + 1) % n_chips) for x in range(n_chips)]
+
+        def count_pair(rrun, rlen, s_col, s_len):
+            r2d = jnp.concatenate(
+                [rrun.reshape(-1, LANES),
+                 jnp.full((tile_rows + 8, LANES), KEY_POS_INF, jnp.int32)],
+                axis=0)
+            stats = mergejoin.merge_join_count_fused(r2d, s_col, rlen, s_len,
+                                                     tile_rows)
+            return stats
+
+        total_hi = jnp.int32(0)
+        total_lo = jnp.int32(0)
+        s_cur = s2
+        s_cnt = nvs
+        for rnd in range(n_chips):
+            # mask the passing S run to my key range (S runs are sorted, so
+            # range masking keeps a contiguous prefix after re-padding)
+            sflat_cur = s_cur.reshape(-1)
+            sidx = jnp.arange(sflat_cur.shape[0], dtype=jnp.int32)
+            in_range = (sflat_cur >= my_lo) & (sflat_cur < my_next) & \
+                (sidx < s_cnt)
+            n_in = jnp.sum(in_range.astype(jnp.int32))
+            start = jnp.sum((jnp.where(sidx < s_cnt, sflat_cur,
+                                       KEY_POS_INF) < my_lo)
+                            .astype(jnp.int32))
+            # contiguous slice of the sorted run
+            padded = jnp.concatenate(
+                [sflat_cur, jnp.full((sflat_cur.shape[0],), KEY_POS_INF,
+                                     jnp.int32)])
+            s_win = jax.lax.dynamic_slice(padded, (start,),
+                                          (sflat_cur.shape[0],))
+            s_col = jnp.concatenate(
+                [s_win.reshape(-1, LANES),
+                 jnp.full((tile_rows + 8, LANES), KEY_POS_INF, jnp.int32)],
+                axis=0)
+            for src in range(n_chips):
+                stats = count_pair(r_runs[src], grc[src], s_col, n_in)
+                total_lo = total_lo + stats[0, 1]
+                total_hi = total_hi + stats[0, 0] + (total_lo >> 30)
+                total_lo = total_lo & ((1 << 30) - 1)
+            if rnd != n_chips - 1:
+                s_cur = jax.lax.ppermute(s_cur, AXIS, perm)
+                s_cnt = jax.lax.ppermute(s_cnt, AXIS, perm)
+        out = jnp.stack([total_hi, total_lo]).reshape(1, 2)
+        return out, ovr.reshape(1)
+
+    sharded = NamedSharding(mesh, P(AXIS))
+    fn = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS),) * 4,
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    ))
+    stats, overflow = fn(
+        jax.device_put(rk.reshape(n_chips, shard_r), sharded),
+        jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+        jax.device_put(jnp.asarray(nv_r), sharded),
+        jax.device_put(jnp.asarray(nv_s), sharded),
+    )
+    stats = np.asarray(stats, dtype=np.int64)
+    count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
+    return count, int(np.asarray(overflow).sum())

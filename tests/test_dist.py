@@ -86,3 +86,36 @@ def test_dist_mway_permute_schedules(rng, strategy):
         rk, sk, nR, nS, use_pallas=False, numa_strategy=strategy)
     assert ov == 0
     assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpsm_vs_oracle(rng):
+    """Distributed MPSM: R range-exchanged, S rung around the mesh —
+    counts must be exact (the paper's no-S-repartition structure)."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpsm
+
+    nR, nS = 12_000, 18_000
+    rk = rng.integers(1, 4_000, nR).astype(np.int32)
+    sk = rng.integers(1, 4_000, nS).astype(np.int32)
+    cnt, ov = dist_mpsm.dist_mpsm_join_count(rk, sk, nR, nS,
+                                             use_pallas=False, slack=3.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpsm_zipf(rng):
+    from avx_sort_merge_joins_tpu.datagen import (create_relation_pk,
+                                                  create_relation_zipf,
+                                                  seed_generator)
+    from avx_sort_merge_joins_tpu.parallel import dist_mpsm
+
+    nR, nS = 12_000, 18_000
+    seed_generator(42)
+    R = create_relation_pk(nR)
+    seed_generator(43)
+    S = create_relation_zipf(nS, nR, 1.0)
+    rk, _ = R.to_numpy()
+    sk, _ = S.to_numpy()
+    cnt, ov = dist_mpsm.dist_mpsm_join_count(rk, sk, nR, nS,
+                                             use_pallas=False, slack=4.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
