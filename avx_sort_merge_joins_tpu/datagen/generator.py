@@ -92,17 +92,65 @@ def create_relation_pk(num_tuples: int, capacity: Optional[int] = None) -> Relat
     return Relation.from_numpy(keys, payloads, capacity)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _device_gen(num_tuples: int, maxid: int, nthreads: int):
+    """Compiled on-device generator, cached per shape (rebuilding the jitted
+    closure per call would recompile every time)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(seed):
+        base = (jnp.arange(num_tuples, dtype=jnp.int32) %
+                jnp.int32(maxid)) + 1
+        # shuffle = sort by integer-hash draws (jax.random's threefry
+        # compiles pathologically slowly at this size on the tunnel
+        # backend; a splitmix-style hash is plenty for a shuffle)
+        x = jnp.arange(num_tuples, dtype=jnp.int32) + seed
+        x = (x ^ (x >> 16)) * jnp.int32(0x7feb352d)
+        x = (x ^ (x >> 15)) * jnp.int32(np.int32(np.uint32(0x846ca68b)))
+        x = x ^ (x >> 16)
+        _, keys = jax.lax.sort((x, base), num_keys=1)
+        per = num_tuples // nthreads
+        idx = jnp.arange(num_tuples, dtype=jnp.int32)
+        chunk_start = jnp.minimum(idx // max(per, 1), nthreads - 1) * per
+        return keys, 5 + (idx - chunk_start)
+
+    return gen
+
+
 def parallel_create_relation(
     num_tuples: int,
     maxid: int,
     nthreads: int = 1,
     capacity: Optional[int] = None,
+    device: Optional[bool] = None,
 ) -> Relation:
     """Unique-key relation built the way the reference's parallel generator
     does (generator.c:254-350): thread t's chunk holds consecutive keys
     starting at its offset (wrapping at maxid) and payloads 5+local_i; keys
     are then globally shuffled.  The multiset equals {1..maxid} tiled to n.
+
+    The reference's parallel shuffle seeds each thread from
+    ``time(NULL)+pthread_self()`` (generator.c:137), so its permutation is
+    irreproducible even between its own runs — only the key multiset is
+    defined.  Large relations therefore generate ON DEVICE
+    (jax.random.permutation of the same multiset) to avoid pushing
+    gigabytes through the host→device link (~12 MB/s on the axon tunnel);
+    pass ``device=False`` to force the host path.
     """
+    if device is None:
+        device = num_tuples >= (1 << 22)
+    if device:
+        import jax.numpy as jnp
+
+        rng = _check_seed()
+        keys, payloads = _device_gen(num_tuples, maxid, max(nthreads, 1))(
+            jnp.int32(rng.rand() & 0x7FFFFFFF))
+        return Relation(keys, payloads, num_tuples)
     rng = _check_seed()
     base = np.arange(num_tuples, dtype=np.int64) % maxid + 1
     keys = base.astype(np.int32)
