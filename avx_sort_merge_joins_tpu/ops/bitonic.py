@@ -22,8 +22,6 @@ padding sentinels.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

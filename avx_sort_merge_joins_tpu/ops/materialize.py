@@ -23,8 +23,6 @@ relations, which none of the reference workloads exercise
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

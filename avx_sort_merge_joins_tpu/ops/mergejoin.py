@@ -26,8 +26,6 @@ Position sums overflow int32, so the reduction returns per-tile
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -41,7 +41,6 @@ pipelines): every VMEM/HBM touch halves, which is the dominant cost.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import sort as sort_ops
 from .bitonic import LANES
-from ..params import align_tuples
 
 HIST_TILE_ROWS = 512  # 64K tuples per histogram grid step
 

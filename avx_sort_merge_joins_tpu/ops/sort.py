@@ -28,7 +28,6 @@ merge16_varlen passes, avxsort.c:86-200):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Sequence
 
 import jax

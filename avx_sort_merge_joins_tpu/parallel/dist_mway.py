@@ -26,7 +26,6 @@ capacity carries a slack factor and overflow is detected, never silent.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,7 @@ the schedule of collective-permute rounds of the sorted-run exchange.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

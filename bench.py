@@ -26,14 +26,16 @@ import numpy as np
 
 
 def _gen_workload(n: int):
-    rng = np.random.default_rng(42)
-    rk = rng.permutation(np.arange(1, n + 1, dtype=np.int64)).astype(np.int32)
-    # |S| = |R| fk relation = an independent permutation of the key domain
-    # (create_relation_fk with one full block, generator.c:407-445)
-    sk = rng.permutation(np.arange(1, n + 1, dtype=np.int64)).astype(np.int32)
-    rp = np.arange(5, 5 + n, dtype=np.int32)
-    sp = np.arange(5, 5 + n, dtype=np.int32)
-    return rk, rp, sk, sp
+    """Workload B: R unique 1..n, S uniform fk over the same domain
+    (main.c:534-588's default).  Generated on device — the axon tunnel
+    moves host arrays at ~12 MB/s, so host-side generation would dwarf the
+    join itself at 128M."""
+    from avx_sort_merge_joins_tpu import datagen
+
+    datagen.seed_generator(42)
+    R = datagen.parallel_create_relation(n, n)
+    S = datagen.parallel_create_relation(n, n)
+    return R.keys, S.keys
 
 
 def _time_best(fn, reps: int) -> float:
@@ -58,9 +60,7 @@ def main() -> None:
     total = 2 * n
 
     print(f"[bench] backend={jax.default_backend()} n={n}", file=sys.stderr)
-    rk, rp, sk, sp = _gen_workload(n)
-    rk_d = jnp.asarray(rk)
-    sk_d = jnp.asarray(sk)
+    rk_d, sk_d = _gen_workload(n)
 
     def run():
         stats = mway._mway_count_device(
