@@ -292,15 +292,23 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
 
 
 def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
-                           tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
+                           tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
+                           interpret: bool | None = None):
     """Exact match count of two sorted key columns in one read-only pass.
 
     ``rk2d``/``sk2d`` are (rows, 128) ascending key layouts with at least
     tile_rows+8 spare rows past ceil(n/128) (as produced by the 2D sort
     compositions).  Returns the device (hi, lo) base-2^30 limb pair; total
     = hi * 2^30 + lo (combine host-side in int64).
+
+    ``interpret`` defaults to "not on TPU"; pass it explicitly when the
+    executing mesh's platform differs from the default backend (the
+    CPU-mesh dryrun under a TPU default).
     """
     import functools as ft
+
+    if interpret is None:
+        interpret = sort_ops._interpret()
 
     # nR/nS may be traced scalars (distributed path) — the kernel reads
     # them from SMEM either way
@@ -321,7 +329,7 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
             pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        interpret=sort_ops._interpret(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, rk2d, sk2d)
     return out

@@ -26,7 +26,7 @@ from jax import shard_map
 
 from ..ops import mergejoin
 from ..ops.bitonic import KEY_POS_INF, LANES
-from .dist_mway import _local_sorted_2d, _slice_buckets
+from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
 from .mesh import AXIS, make_mesh
 
 
@@ -38,7 +38,7 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
     """MPSM equi-join match count.  Returns (count, overflow) host ints."""
     mesh = mesh or make_mesh()
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _mesh_platform(mesh) == "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
@@ -106,8 +106,9 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
                 [rrun.reshape(-1, LANES),
                  jnp.full((tile_rows + 8, LANES), KEY_POS_INF, jnp.int32)],
                 axis=0)
-            stats = mergejoin.merge_join_count_fused(r2d, s_col, rlen, s_len,
-                                                     tile_rows)
+            stats = mergejoin.merge_join_count_fused(
+                r2d, s_col, rlen, s_len, tile_rows,
+                interpret=not use_pallas)
             return stats
 
         total_hi = jnp.int32(0)

@@ -40,6 +40,12 @@ from ..types import NumaStrategy
 from .mesh import AXIS, make_mesh, shuffle_order
 
 
+def _mesh_platform(mesh):
+    """Platform of the mesh's devices (may differ from the default
+    backend, e.g. a CPU dryrun mesh under a TPU default)."""
+    return np.asarray(mesh.devices).flat[0].platform
+
+
 def _local_sorted_2d(keys, n_cap: int, block_rows: int, tile_rows: int,
                      fanin: int, use_pallas: bool):
     """Sort a local shard (padded with +inf) ascending; returns the padded
@@ -173,7 +179,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     """
     mesh = mesh or make_mesh()
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _mesh_platform(mesh) == "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
     schedule = None
     if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
@@ -245,7 +251,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                                   fanin, use_pallas)
         # phase 4: fused count over the owned key range (limbs recombined
         # host-side in int64)
-        stats = mergejoin.merge_join_count_fused(mr2, ms2, tr, ts, tile_rows)
+        stats = mergejoin.merge_join_count_fused(
+            mr2, ms2, tr, ts, tile_rows, interpret=not use_pallas)
         return stats.reshape(1, 2), (ovr + ovs).reshape(1)
 
     sharded = NamedSharding(mesh, P(AXIS))
