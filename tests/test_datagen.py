@@ -163,3 +163,20 @@ def test_tblio_roundtrip(rng):
         bk, bp = back.to_numpy()
         np.testing.assert_array_equal(bk, keys)
         np.testing.assert_array_equal(bp, pays)
+
+
+def test_zipf_golden_vs_reference_c():
+    """Bit-exact gen_zipf streams vs the reference genzipf.c compiled on
+    this host (driver: srand(seed); gen_zipf(n, alpha, z)).  Golden
+    constants are the C binary's first outputs."""
+    from avx_sort_merge_joins_tpu.datagen.c_rng import GlibcRand
+    from avx_sort_merge_joins_tpu.datagen.genzipf import gen_zipf
+
+    golden = {
+        (42, 1000, 1.0): [281, 817, 148, 557, 557, 668],
+        (7, 500, 0.5): [192, 292, 65, 165, 495, 151],
+        (42, 1000, 0.75): [283, 878, 148, 902, 152, 197],
+    }
+    for (seed, alpha, z), expect in golden.items():
+        got = gen_zipf(12, alpha, z, GlibcRand(seed))[:6]
+        assert got.tolist() == expect, (seed, alpha, z, got)
