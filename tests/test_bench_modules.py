@@ -1,0 +1,23 @@
+"""Smoke tests for the bench-binary analogs (tiny sizes; interpret mode)."""
+
+from avx_sort_merge_joins_tpu.bench import (mergebench, partitioningbench,
+                                            sortbench, tputbench)
+
+
+def test_sortbench_smoke(capsys):
+    assert sortbench.main(["0.0625", "keysonly"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.split()) == 3  # "N usecs Mt/s" record
+
+
+def test_partitioningbench_smoke(capsys):
+    assert partitioningbench.main(["65536", "hist", "4"]) == 0
+
+
+def test_mergebench_smoke(capsys):
+    assert mergebench.main(["0.03125", "--variant", "fifo2"]) == 0
+
+
+def test_tputbench_numa_smoke(capsys):
+    assert tputbench.main(["--mode", "numa", "-n", "8192",
+                           "-S", "RANDOM", "--reps", "1"]) == 0
