@@ -1,0 +1,1 @@
+"""Join algorithms (reference: src/joins/ - m-way, m-pass, mpsm)."""

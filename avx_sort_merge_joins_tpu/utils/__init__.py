@@ -1,0 +1,1 @@
+"""Observability and utilities (reference: src/util/)."""
