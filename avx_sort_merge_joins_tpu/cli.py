@@ -77,8 +77,8 @@ def make_relations(args):
                  S = create_relation_fk_from_pk(R, |S|)
     """
     from . import datagen
+    from .utils.log import info
 
-    info = lambda msg: print(f"[INFO ] {msg}", file=sys.stderr)
     datagen.seed_generator(args.r_seed)
     if args.full_range:
         info(f"Creating full-range R with {args.r_size} tuples")
