@@ -136,11 +136,20 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
                 [s_win.reshape(-1, LANES),
                  jnp.full((tile_rows + 8, LANES), KEY_POS_INF, jnp.int32)],
                 axis=0)
-            for src in range(n_chips):
-                stats = count_pair(r_runs[src], grc[src], s_col, n_in)
-                total_lo = total_lo + stats[0, 1]
-                total_hi = total_hi + stats[0, 0] + (total_lo >> 30)
-                total_lo = total_lo & ((1 << 30) - 1)
+            def src_body(src, carry):
+                hi, lo = carry
+                rrun = jax.lax.dynamic_index_in_dim(r_runs, src, 0,
+                                                    keepdims=False)
+                stats = count_pair(rrun, grc[src], s_col, n_in)
+                lo = lo + stats[0, 1]
+                hi = hi + stats[0, 0] + (lo >> 30)
+                return hi, lo & ((1 << 30) - 1)
+
+            # fori keeps ONE count-kernel instance per round in the graph
+            # (an unrolled n_chips^2 of them overflows the XLA CPU
+            # compiler's stack on wide meshes)
+            total_hi, total_lo = jax.lax.fori_loop(
+                0, n_chips, src_body, (total_hi, total_lo))
             if rnd != n_chips - 1:
                 s_cur = jax.lax.ppermute(s_cur, AXIS, perm)
                 s_cnt = jax.lax.ppermute(s_cnt, AXIS, perm)
