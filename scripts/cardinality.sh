@@ -2,6 +2,8 @@
 # Cardinality experiment — S/R in {1,2,4,8,16} with R fixed
 # (reference: scripts/cardinality.sh:30-48).
 set -u
+# run from anywhere: put the repo root on PYTHONPATH
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
 NR=${NR:-134217728}
 ALGO=${ALGO:-m-way}
 REPS=${REPS:-3}

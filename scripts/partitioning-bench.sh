@@ -2,6 +2,8 @@
 # Partitioning micro grid — 8M tuples x radix bits 2..16 x variants
 # (reference: scripts/partitioning-bench.sh:17-33).
 set -u
+# run from anywhere: put the repo root on PYTHONPATH
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
 N=${N:-8388608}
 BITS=${BITS:-"2 4 6 8 10 12 14 16"}
 OUT=${OUT:-partitioning-bench.txt}

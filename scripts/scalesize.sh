@@ -2,6 +2,8 @@
 # Scale-size experiment — R = S = 32M * {1..60}
 # (reference: scripts/scalesize.sh:31-45).
 set -u
+# run from anywhere: put the repo root on PYTHONPATH
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
 ALGO=${ALGO:-m-way}
 SIZES=${SIZES:-"1 2 4 8 16 24 32 40 48 56 60"}
 LOG=${LOG:-scalesize.log}

@@ -5,6 +5,8 @@
 #  "ALGO NTHREADS RUNNO ... NUMTUP USECS TPUT", :27-38).
 # Chips replace threads; the scalar runs use --scalarsort/--scalarmerge.
 set -u
+# run from anywhere: put the repo root on PYTHONPATH
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
 NR=${NR:-134217728}
 NS=${NS:-$NR}
 REPS=${REPS:-3}
