@@ -43,3 +43,20 @@ def test_mpsm_vs_oracle(rng):
     S = Relation.from_numpy(sk, np.arange(nS, dtype=np.int32))
     res = sortmergejoin_mpsm(R, S, nchunks=3)
     assert res.totalresults == merge_join_count_numpy(rk, sk)
+
+
+def test_cli_materialize_persist(tmp_path, capsys):
+    """--materialize + --persist write R.tbl/S.tbl/Out.tbl (the reference's
+    --enable-materialize/--enable-persist flow, main.c:609-614)."""
+    rc = main(["-a", "m-way", "-r", "8000", "-s", "12000",
+               "--materialize", "--persist", str(tmp_path),
+               "-x", "5", "-y", "6"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Results = 12000" in out
+    for name, rows in [("R.tbl", 8000), ("S.tbl", 12000),
+                       ("Out.tbl", 12000)]:
+        lines = (tmp_path / name).read_text().strip().splitlines()
+        assert len(lines) == rows, name
+        k, p = lines[0].split()
+        int(k), int(p)
