@@ -39,6 +39,8 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
     mesh = mesh or make_mesh()
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
+    # pallas kernels interpret off-TPU regardless of pipeline choice
+    interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
@@ -108,7 +110,7 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
                 axis=0)
             stats = mergejoin.merge_join_count_fused(
                 r2d, s_col, rlen, s_len, tile_rows,
-                interpret=not use_pallas)
+                interpret=interp)
             return stats
 
         total_hi = jnp.int32(0)

@@ -180,6 +180,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     mesh = mesh or make_mesh()
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
+    # pallas kernels interpret off-TPU regardless of pipeline choice
+    interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
     schedule = None
     if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
@@ -252,7 +254,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         # phase 4: fused count over the owned key range (limbs recombined
         # host-side in int64)
         stats = mergejoin.merge_join_count_fused(
-            mr2, ms2, tr, ts, tile_rows, interpret=not use_pallas)
+            mr2, ms2, tr, ts, tile_rows, interpret=interp)
         return stats.reshape(1, 2), (ovr + ovs).reshape(1)
 
     sharded = NamedSharding(mesh, P(AXIS))
