@@ -272,4 +272,10 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     )
     stats = np.asarray(stats, dtype=np.int64)
     count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
-    return count, int(np.asarray(overflow).sum())
+    ov = int(np.asarray(overflow).sum())
+    if ov > 0 and slack < 16.0:
+        # extreme skew overflowed a bucket: retry with doubled capacity
+        # (the reference's fixed RELATION_PADDING has no such safety net)
+        return dist_mway_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
+                  block_rows, tile_rows, fanin, use_pallas)
+    return count, ov

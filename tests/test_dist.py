@@ -119,3 +119,16 @@ def test_dist_mpsm_zipf(rng):
                                              use_pallas=False, slack=4.0)
     assert ov == 0
     assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mway_heavy_hitter(rng):
+    """90%-duplicate foreign keys (harder than zipf z=1): equi-depth
+    splitters + per-source buckets + overflow auto-retry keep counts exact."""
+    nR, nS = 20_000, 20_000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = np.where(rng.random(nS) < 0.9, 7,
+                  rng.integers(1, nR + 1, nS)).astype(np.int32)
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=False)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
