@@ -27,6 +27,10 @@ GOLDEN = [
       "-x", "42", "-y", "43"], 200024),
     (["-a", "m-way", "-r", "100000", "-s", "100000",
       "-x", "42", "-y", "43"], 100000),  # default: uniform fk -> |S|
+    (["-a", "m-way", "-r", "50000", "-s", "150000", "--non-unique",
+      "-x", "11", "-y", "12"], 149492),  # S/R = 3 cardinality point
+    (["-a", "m-way", "-r", "65536", "-s", "131072", "--full-range",
+      "-x", "9", "-y", "10"], 131072),
 ]
 
 
@@ -39,7 +43,7 @@ def _run(argv):
 
 @pytest.mark.parametrize("argv,expected", GOLDEN,
                          ids=["nonunique-42", "nonunique-7", "fullrange",
-                              "default"])
+                              "default", "card3", "fullrange-2x"])
 def test_reference_golden_counts(argv, expected):
     assert _run(argv) == expected
 
@@ -49,3 +53,10 @@ def test_mpass_reference_golden():
     argv = ["-a", "m-pass", "-r", "100000", "-s", "100000", "--non-unique",
             "-x", "9", "-y", "10"]
     assert _run(argv) == 100114
+
+
+def test_mpass_reference_golden_asymmetric():
+    # sortmergejoins -a m-pass -n 1 -r 200000 -s 100000 --non-unique -x 3 -y 4
+    argv = ["-a", "m-pass", "-r", "200000", "-s", "100000", "--non-unique",
+            "-x", "3", "-y", "4"]
+    assert _run(argv) == 99665
