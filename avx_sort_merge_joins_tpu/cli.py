@@ -107,6 +107,30 @@ def make_relations(args):
     return R, S
 
 
+def _run_dist_materialize(args, R, S, mesh):
+    """Materializing distributed join: payload-carrying exchange +
+    per-chip <S-key, S-RID> output with physical dup-R expansion
+    (joincommon.c:266-289 semantics on the mesh)."""
+    from .parallel import dist_materialize
+    from .types import JoinResult, Relation, ThreadResult
+
+    t0 = time.perf_counter()
+    ks, ps, cnt, overflow = dist_materialize.dist_join_materialize(
+        R.keys, R.payloads, S.keys, S.payloads,
+        R.num_tuples, S.num_tuples, mesh)
+    dt = time.perf_counter() - t0
+    if overflow:
+        print(f"[ERROR] exchange/output overflow ({overflow} tuples); "
+              "raise slack", file=sys.stderr)
+        sys.exit(1)
+    rel = Relation.from_numpy(ks, ps, sorted=False)
+    return JoinResult(
+        totalresults=cnt,
+        resultlist=[ThreadResult(nresults=cnt, results=rel, shard_id=0)],
+        phases={"total": dt},
+        throughput=(R.num_tuples + S.num_tuples) / dt)
+
+
 def run_join(args, R, S):
     from .types import JoinConfig
 
@@ -123,18 +147,39 @@ def run_join(args, R, S):
         from .parallel import dist_join, dist_mway
         from .parallel.mesh import make_mesh
 
+        # flag plumbing on the distributed path: the scalar flags select
+        # the XLA-baseline pipeline (use_pallas=False) — the reference's
+        # --scalarsort/--scalarmerge swap kernels at the same granularity
+        use_pallas = None
+        if args.scalarsort or args.scalarmerge:
+            use_pallas = False
+        if args.mwaybufsize:
+            print("[WARN ] -m merge-buffer size has no effect on the "
+                  "distributed path (FIFO tiles are VMEM-derived)",
+                  file=sys.stderr)
         mesh = make_mesh(args.nthreads)
         t0 = time.perf_counter()
+        if args.materialize:
+            if args.algo != "m-way":
+                print("[WARN ] --materialize with -n>1 uses the "
+                      "distributed m-way pipeline", file=sys.stderr)
+            return _run_dist_materialize(args, R, S, mesh)
         if args.algo == "m-way":
             cnt, overflow = dist_mway.dist_mway_join_count(
                 R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
-                fanin=args.partfanout, numa_strategy=args.numastrategy
+                fanin=args.partfanout, use_pallas=use_pallas,
+                numa_strategy=args.numastrategy
                 if args.numastrategy != "NEXT" else None)
         elif args.algo == "mpsm":
             from .parallel import dist_mpsm
             cnt, overflow = dist_mpsm.dist_mpsm_join_count(
                 R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
-                fanin=args.partfanout)
+                fanin=args.partfanout, use_pallas=use_pallas)
+        elif args.algo == "m-pass":
+            from .parallel import dist_mpass
+            cnt, overflow = dist_mpass.dist_mpass_join_count(
+                R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
+                use_pallas=use_pallas)
         else:
             cnt, overflow = dist_join.dist_join_count(
                 R.keys, R.payloads, S.keys, S.payloads,

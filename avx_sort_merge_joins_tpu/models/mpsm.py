@@ -69,5 +69,13 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
                             nR, nS, nchunks, fanin, block_rows, tile_rows)
 
     stats_list, timings = common.run_phases({"sortmerge": pipeline})
-    matches = sum(mergejoin.finish_count_fused(s) for s in stats_list)
+    try:
+        matches = sum(mergejoin.finish_count_fused(s) for s in stats_list)
+    except mergejoin.CountLimbOverflow:
+        import numpy as np
+        from ..utils.log import warn
+        warn("count-kernel limb overflow; recounting through the exact "
+             "wide path")
+        matches = mergejoin.merge_join_count_numpy(
+            np.asarray(R.keys[:nR]), np.asarray(S.keys[:nS]))
     return common.make_result(matches, nR, nS, timings)

@@ -81,6 +81,24 @@ def _mway_materialize_device(rk, sk, sp, nR: int, nS: int, fanin: int,
     return materialize.materialize_matches(rks, nR, sks, sps, nS)
 
 
+def _finish_or_widen(stats, R: Relation, S: Relation) -> int:
+    """Combine fused-count limbs; on the (detected) cntR·cntS ≥ 2^29 limb
+    overflow, recount through the exact host oracle — slow but never wrong
+    (the reference's scalar merge_join is exact for all inputs,
+    joincommon.c:260-305)."""
+    import numpy as np
+
+    try:
+        return mergejoin.finish_count_fused(stats)
+    except mergejoin.CountLimbOverflow:
+        from ..utils.log import warn
+        warn("count-kernel limb overflow (hot key on both sides); "
+             "recounting through the exact wide path")
+        return mergejoin.merge_join_count_numpy(
+            np.asarray(R.keys[:R.num_tuples]),
+            np.asarray(S.keys[:S.num_tuples]))
+
+
 def sortmergejoin_multiway(R: Relation, S: Relation,
                            config: JoinConfig | None = None,
                            fanin: int = FANIN_DEFAULT,
@@ -114,11 +132,18 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
             {"sortmerge": pipeline})
         nm = int(n_matched)
         matches = int(np.asarray(om[:nm], dtype=np.int64).sum())
+        if matches != nm:
+            # non-pk R: physically replicate matched S tuples per match
+            # pair (joincommon.c:266-289 nested duplicate loops)
+            cap_out = max(8, matches)
+            ek, ep, _ = jax.jit(materialize.expand_matches,
+                                static_argnums=(4,))(ok, op, om, nm, cap_out)
+            rel = materialize.materialized_relation(ek, ep, matches)
+        else:
+            rel = materialize.materialized_relation(ok, op, nm)
         result = common.make_result(matches, nR, nS, timings)
         result.resultlist = [ThreadResult(
-            nresults=matches,
-            results=materialize.materialized_relation(ok, op, nm),
-            shard_id=0)]
+            nresults=matches, results=rel, shard_id=0)]
         return result
 
     if config.scalar_merge or config.scalar_sort:
@@ -132,7 +157,7 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
         if config.scalar_merge:
             matches = int(stats)
         else:
-            matches = mergejoin.finish_count_fused(stats)
+            matches = _finish_or_widen(stats, R, S)
         return common.make_result(matches, nR, nS, timings)
 
     # phase-split run (the reference's Sort/Merge/Join cycle stats,
@@ -158,5 +183,5 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
 
     stats, timings = common.run_phases({"sort": sort_phase,
                                         "mergejoin": join_phase})
-    matches = mergejoin.finish_count_fused(stats)
+    matches = _finish_or_widen(stats, R, S)
     return common.make_result(matches, nR, nS, timings)

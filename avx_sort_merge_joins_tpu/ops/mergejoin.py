@@ -206,8 +206,11 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
     key exactly once and writes nothing but two scalars.
 
     Totals accumulate as (hi, lo) base-2^30 limbs; per-segment products
-    must stay below 2^30 (every reference workload satisfies this: pk-fk
-    joins have cntR=1 and cntS ≤ |S|/maxid heavy hitters well under 2^30).
+    must stay below 2^29 (every reference workload satisfies this: pk-fk
+    joins have cntR=1 and cntS ≤ |S|/maxid heavy hitters well under 2^29).
+    A segment whose cntR·cntS reaches 2^29 raises the overflow flag in the
+    output (checked at close time in float32, conservatively) so callers
+    fall back to an exact wide path instead of silently wrapping.
     """
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
@@ -226,7 +229,7 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         return cp, skip
 
     def tile_body(t, carry):
-        ea, eb, carry_key, r_open, s_open, hi, lo = carry
+        ea, eb, carry_key, r_open, s_open, hi, lo, ovf = carry
         avail_a = nR - ea
         avail_b = nS - eb
         cp1, skip_a = load(wak, rk_hbm, ea, insem.at[0])
@@ -262,8 +265,15 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         bnext = bitonic.shift_flat((mk != prev).astype(jnp.int32), 1)
         bnext = jnp.where(fidx == T - 1, 0, bnext)
         closes = jnp.sum(bnext * c0 * c1)
-        # the carried-in segment closes here when the tile opens a new key
-        contrib = closes + b0 * r_open * s_open
+        # limb-safety check at segment close: products are exact in int32
+        # only below 2^31; the accumulation bound needs < 2^29 per segment.
+        # float32 compare is conservative near 2^29 (ties round to the
+        # threshold), so overflowing workloads are always flagged.
+        big = jnp.float32(1 << 29)
+        pf = c0.astype(jnp.float32) * c1.astype(jnp.float32)
+        ovf = ovf | jnp.sum(((bnext > 0) & (pf >= big)).astype(jnp.int32))
+        ro_f = r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        ovf = ovf | jnp.where((b0 > 0) & (ro_f >= big), 1, 0)
 
         # open-segment carry from the last valid position; when the tile is
         # partial (stream end) the +inf junk boundary already closed the
@@ -275,20 +285,32 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         r_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c0, 0)))
         s_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c1, 0)))
 
-        lo = lo + contrib
+        # carry the lo limb between the two adds: lo (< 2^30) + closes
+        # (≤ 2^29 carried close + in-tile sum ≤ T^2/4) and then
+        # lo + b0·r_open·s_open (≤ 2^29) each stay below INT32_MAX, whereas
+        # their one-shot sum could wrap right at the invariant boundary
+        lo = lo + closes
         hi = hi + (lo >> 30)
         lo = lo & ((1 << 30) - 1)
-        return (ea + inc_a, eb + inc_b, key_lv, r_new, s_new, hi, lo)
+        lo = lo + b0 * r_open * s_open
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        return (ea + inc_a, eb + inc_b, key_lv, r_new, s_new, hi, lo, ovf)
 
     init = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
-            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    ea, eb, ck, r_open, s_open, hi, lo = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0))
+    ea, eb, ck, r_open, s_open, hi, lo, ovf = jax.lax.fori_loop(
         0, ntiles, tile_body, init)
+    ovf = ovf | jnp.where(
+        r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        >= jnp.float32(1 << 29), 1, 0)
     lo = lo + r_open * s_open
     hi = hi + (lo >> 30)
     lo = lo & ((1 << 30) - 1)
     out_ref[0, 0] = hi
     out_ref[0, 1] = lo
+    out_ref[0, 2] = ovf
 
 
 def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
@@ -298,8 +320,11 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
 
     ``rk2d``/``sk2d`` are (rows, 128) ascending key layouts with at least
     tile_rows+8 spare rows past ceil(n/128) (as produced by the 2D sort
-    compositions).  Returns the device (hi, lo) base-2^30 limb pair; total
-    = hi * 2^30 + lo (combine host-side in int64).
+    compositions).  Returns the device (1, 3) stats row
+    ``[hi, lo, overflow]``: total = hi * 2^30 + lo (combine host-side in
+    int64), valid only when ``overflow == 0`` — nonzero means some
+    segment's cntR·cntS reached 2^29 and the caller must take an exact
+    wide path (see :func:`finish_count_fused`).
 
     ``interpret`` defaults to "not on TPU"; pass it explicitly when the
     executing mesh's platform differs from the default backend (the
@@ -316,7 +341,7 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
                           jnp.asarray(nS, jnp.int32)])
     out = pl.pallas_call(
         ft.partial(_count_kernel, tile_rows=tile_rows),
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -335,9 +360,19 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
     return out
 
 
+class CountLimbOverflow(RuntimeError):
+    """A merge-join segment's cntR·cntS reached 2^29: the fused kernel's
+    base-2^30 limb accumulation would wrap.  Callers catch this and rerun
+    through an exact wide counter (the reference's scalar loops are exact
+    for all inputs, joincommon.c:260-305 — so must we be)."""
+
+
 def finish_count_fused(out) -> int:
-    hi, lo = np.asarray(out).reshape(2)
-    return (int(hi) << 30) + int(lo)
+    flat = np.asarray(out).reshape(-1)
+    if int(flat[2]):
+        raise CountLimbOverflow(
+            "per-segment cntR*cntS >= 2^29 in the fused count kernel")
+    return (int(flat[0]) << 30) + int(flat[1])
 
 
 def merge_join_count_xla(rk_sorted, sk_sorted, nR: int, nS: int) -> jnp.ndarray:

@@ -43,8 +43,36 @@ BLOCK_ROWS_DEFAULT = 128  # 16384 tuples per block-sort program
 TILE_ROWS_DEFAULT = 128   # 16384 tuples per merge output tile (best measured DMA/compute balance)
 
 
+_INTERPRET_OVERRIDE: Optional[bool] = None
+
+
 def _interpret() -> bool:
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
+
+
+class force_interpret:
+    """Trace-time override of the Pallas interpret-mode choice.
+
+    The default tracks the DEFAULT backend, but distributed joins execute
+    on an explicit mesh whose platform may differ (the CPU-mesh dryrun
+    under a TPU default backend): wrap the jit invocation that traces the
+    kernels so every pallas_call inside bakes the mesh's mode."""
+
+    def __init__(self, value: bool):
+        self.value = value
+
+    def __enter__(self):
+        global _INTERPRET_OVERRIDE
+        self._old = _INTERPRET_OVERRIDE
+        _INTERPRET_OVERRIDE = self.value
+        return self
+
+    def __exit__(self, *exc):
+        global _INTERPRET_OVERRIDE
+        _INTERPRET_OVERRIDE = self._old
+        return False
 
 
 def cdiv(a: int, b: int) -> int:
@@ -118,12 +146,20 @@ def _merge_pair_body(
     j, run_len, k_hbm, p_hbm, ok_hbm, op_hbm,
     wak, wap, wbk, wbp, rk, rp, insem, outsem,
     *, stride_rows: int, tile_rows: int, ascending: bool, swap: bool = False,
+    b_asc: bool = False,
 ):
     """Merge run pair (2j, 2j+1) in direction `ascending` (static).
 
     The body consumes stream A as the ascending run and B as the descending
     run; under a flipped (mirrored) sort the pair layout is (desc, asc), so
-    ``swap`` exchanges the roles.  ``run_len(i)`` gives run i's length."""
+    ``swap`` exchanges the roles.  ``run_len(i)`` gives run i's length.
+
+    ``b_asc``: run B is stored ASCENDING too (runs received from an
+    exchange are all ascending) — its windows load from the mirrored end
+    and get lane-reversed in VMEM, after which the bitonic-pair logic is
+    unchanged.  This is the kernel behind the distributed m-pass's first
+    merge pass (the reference merges all-ascending remote runs pairwise,
+    sortmergejoin_multipass.c:410-619)."""
     T = tile_rows * LANES
     ia = 2 * j + (1 if swap else 0)
     ib = 2 * j + (0 if swap else 1)
@@ -147,63 +183,88 @@ def _merge_pair_body(
         cp.start()
         return cp
 
+    keys_only = p_hbm is None
+
     def tile_body(t, carry):
         ea, eb = carry
         if ascending:
             # A consumed from its front (smallest first), B (desc) from its back
             a_elem = base_a * LANES + ea
-            b_start = base_b * LANES + lb - eb - T
+            b_start = (base_b * LANES + eb) if b_asc \
+                else (base_b * LANES + lb - eb - T)
         else:
             # A (asc) consumed from its back (largest first), B from its front
             a_elem = base_a * LANES + la - ea - T
-            b_start = base_b * LANES + eb
+            b_start = (base_b * LANES + lb - eb - T) if b_asc \
+                else (base_b * LANES + eb)
         car, skip_a = a_elem // LANES, a_elem % LANES
         cbr, skip_b = b_start // LANES, b_start % LANES
         d1 = load(wak, k_hbm, car, insem.at[0])
-        d2 = load(wap, p_hbm, car, insem.at[1])
         d3 = load(wbk, k_hbm, cbr, insem.at[2])
-        d4 = load(wbp, p_hbm, cbr, insem.at[3])
-        d1.wait(); d2.wait(); d3.wait(); d4.wait()
+        if not keys_only:
+            d2 = load(wap, p_hbm, car, insem.at[1])
+            d4 = load(wbp, p_hbm, cbr, insem.at[3])
+        d1.wait(); d3.wait()
+        if not keys_only:
+            d2.wait(); d4.wait()
 
         ak = bitonic.shift_flat(wak[:], skip_a)[:tile_rows]
-        ap = bitonic.shift_flat(wap[:], skip_a)[:tile_rows]
         bk = bitonic.shift_flat(wbk[:], skip_b)[:tile_rows]
-        bp = bitonic.shift_flat(wbp[:], skip_b)[:tile_rows]
+        if not keys_only:
+            ap = bitonic.shift_flat(wap[:], skip_a)[:tile_rows]
+            bp = bitonic.shift_flat(wbp[:], skip_b)[:tile_rows]
+        if b_asc:
+            # lane-reverse the ascending B window into the descending
+            # layout the bitonic-pair selection expects; the validity
+            # masks below already address post-reversal positions
+            bk = bitonic.flip_flat(bk)
+            if not keys_only:
+                bp = bitonic.flip_flat(bp)
 
         avail_a = la - ea
         avail_b = lb - eb
         if ascending:
             # invalid tails lose the min selection
             ak = jnp.where(fidx >= avail_a, KEY_POS_INF, ak)
-            ap = jnp.where(fidx >= avail_a, KEY_POS_INF, ap)
             bk = jnp.where(fidx < T - avail_b, KEY_POS_INF, bk)
-            bp = jnp.where(fidx < T - avail_b, KEY_POS_INF, bp)
-            # first bitonic stage of concat(A asc, B desc): lower half
-            _, le = bitonic.lex_lt_le(ak, ap, bk, bp)
+            if keys_only:
+                le = ak <= bk
+            else:
+                ap = jnp.where(fidx >= avail_a, KEY_POS_INF, ap)
+                bp = jnp.where(fidx < T - avail_b, KEY_POS_INF, bp)
+                # first bitonic stage of concat(A asc, B desc): lower half
+                _, le = bitonic.lex_lt_le(ak, ap, bk, bp)
             hk = jnp.where(le, ak, bk)
-            hp = jnp.where(le, ap, bp)
+            hp = None if keys_only else jnp.where(le, ap, bp)
             consumed_a = jnp.sum(le.astype(jnp.int32))
         else:
             # invalid heads lose the max selection
             ak = jnp.where(fidx < T - avail_a, KEY_NEG_INF, ak)
-            ap = jnp.where(fidx < T - avail_a, KEY_NEG_INF, ap)
             bk = jnp.where(fidx >= avail_b, KEY_NEG_INF, bk)
-            bp = jnp.where(fidx >= avail_b, KEY_NEG_INF, bp)
-            # first bitonic stage of concat(A asc, B desc): upper half
-            lt, _ = bitonic.lex_lt_le(ak, ap, bk, bp)
-            keep_a = jnp.logical_not(lt)  # a >= b
+            if keys_only:
+                keep_a = ak >= bk
+            else:
+                ap = jnp.where(fidx < T - avail_a, KEY_NEG_INF, ap)
+                bp = jnp.where(fidx >= avail_b, KEY_NEG_INF, bp)
+                # first bitonic stage of concat(A asc, B desc): upper half
+                lt, _ = bitonic.lex_lt_le(ak, ap, bk, bp)
+                keep_a = jnp.logical_not(lt)  # a >= b
             hk = jnp.where(keep_a, ak, bk)
-            hp = jnp.where(keep_a, ap, bp)
+            hp = None if keys_only else jnp.where(keep_a, ap, bp)
             consumed_a = jnp.sum(keep_a.astype(jnp.int32))
 
         mk, mp = bitonic.bitonic_merge(hk, hp, ascending=ascending)
         rk[:] = mk
-        rp[:] = mp
         orow = out_base + t * tile_rows
         o1 = pltpu.make_async_copy(rk, ok_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[0])
-        o2 = pltpu.make_async_copy(rp, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
-        o1.start(); o2.start()
-        o1.wait(); o2.wait()
+        o1.start()
+        if not keys_only:
+            rp[:] = mp
+            o2 = pltpu.make_async_copy(rp, op_hbm.at[pl.ds(orow, tile_rows), :], outsem.at[1])
+            o2.start()
+        o1.wait()
+        if not keys_only:
+            o2.wait()
         return ea + consumed_a, eb + (T - consumed_a)
 
     jax.lax.fori_loop(0, ntiles, tile_body, (jnp.int32(0), jnp.int32(0)))
@@ -212,7 +273,7 @@ def _merge_pair_body(
 def _merge_pass_kernel(lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
                        wak, wap, wbk, wbp, rk, rp, insem, outsem,
                        *, stride_rows: int, tile_rows: int, flip: bool,
-                       uniform: bool = False):
+                       uniform: bool = False, b_asc: bool = False):
     j = pl.program_id(0)
     if uniform:
         def run_len(i):
@@ -229,72 +290,116 @@ def _merge_pass_kernel(lens_ref, k_hbm, p_hbm, ok_hbm, op_hbm,
     @pl.when(even)
     def _():
         _merge_pair_body(*args, stride_rows=stride_rows, tile_rows=tile_rows,
-                         ascending=True, swap=flip)
+                         ascending=True, swap=flip, b_asc=b_asc)
 
     @pl.when(jnp.logical_not(even))
     def _():
         _merge_pair_body(*args, stride_rows=stride_rows, tile_rows=tile_rows,
-                         ascending=False, swap=flip)
+                         ascending=False, swap=flip, b_asc=b_asc)
 
 
-def merge_pass(keys2d, payloads2d, lens: Sequence[int], stride_rows: int,
+def merge_pass(keys2d, payloads2d, lens, stride_rows: int,
                tile_rows: int = TILE_ROWS_DEFAULT, flip: bool = False,
-               uniform_lens=None):
+               uniform_lens=None, b_asc: bool = False,
+               interpret: Optional[bool] = None):
     """One pass of pairwise (asc, desc) -> alternating-direction run merges.
 
-    ``lens`` are the logical run lengths in tuples (static Python ints);
-    run i occupies rows [i*stride_rows, (i+1)*stride_rows).  Returns the new
-    (keys, payloads) arrays and the merged lens list.
+    ``lens`` are the logical run lengths in tuples — static Python ints, or
+    a traced int32 vector (distributed paths whose run lengths come off the
+    exchange); run i occupies rows [i*stride_rows, (i+1)*stride_rows).
+    Returns the new (keys, payloads) arrays and the merged lens
+    (list or traced vector, matching the input).
 
     ``uniform_lens=(nruns, total, span)`` replaces the per-run SMEM array
     with the sort-composition formula len(r) = clip(total - r*span, 0,
     span) — two SMEM scalars regardless of run count (thousands of runs
     would blow the SMEM budget at 128M+ tuples).
+
+    ``b_asc``: both input runs of every pair are ascending (first pass over
+    exchange-received runs); later passes use the default bitonic layout.
     """
+    traced_lens = uniform_lens is None and not isinstance(lens, (list, tuple))
     if uniform_lens is not None:
         nruns, total, span = uniform_lens
         npairs = -(-nruns // 2)
         lens_arr = jnp.asarray(np.asarray([total, span], dtype=np.int32))
         new_lens = [max(0, min(total - g * 2 * span, 2 * span))
                     for g in range(npairs)]
+    elif traced_lens:
+        lens_arr = jnp.asarray(lens, jnp.int32)
+        assert lens_arr.shape[0] % 2 == 0, "pad traced lens to even run count"
+        npairs = lens_arr.shape[0] // 2
+        new_lens = lens_arr[0::2] + lens_arr[1::2]
     else:
         lens = list(lens)
         if len(lens) % 2 == 1:
             lens.append(0)
         npairs = len(lens) // 2
         lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
-    ok, op = pl.pallas_call(
-        functools.partial(_merge_pass_kernel, stride_rows=stride_rows,
-                          tile_rows=tile_rows, flip=flip,
-                          uniform=uniform_lens is not None),
-        out_shape=(
-            jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
-            jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
-        ),
-        grid=(npairs,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lens_arr, keys2d, payloads2d)
-    if uniform_lens is None:
+    if interpret is None:
+        interpret = _interpret()
+    keys_only = payloads2d is None
+    if keys_only:
+        def kernel(lens_ref, k_hbm, ok_hbm, wak, wbk, rk, insem, outsem):
+            _merge_pass_kernel(
+                lens_ref, k_hbm, None, ok_hbm, None,
+                wak, None, wbk, None, rk, None, insem, outsem,
+                stride_rows=stride_rows, tile_rows=tile_rows, flip=flip,
+                uniform=uniform_lens is not None, b_asc=b_asc)
+
+        ok = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+            grid=(npairs,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(lens_arr, keys2d)
+        op = None
+    else:
+        ok, op = pl.pallas_call(
+            functools.partial(_merge_pass_kernel, stride_rows=stride_rows,
+                              tile_rows=tile_rows, flip=flip,
+                              uniform=uniform_lens is not None, b_asc=b_asc),
+            out_shape=(
+                jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype),
+                jax.ShapeDtypeStruct(payloads2d.shape, payloads2d.dtype),
+            ),
+            grid=(npairs,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows, LANES), jnp.int32),
+                pltpu.VMEM((tile_rows, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(lens_arr, keys2d, payloads2d)
+    if uniform_lens is None and not traced_lens:
         new_lens = [lens[2 * i] + lens[2 * i + 1] for i in range(npairs)]
     return ok, op, new_lens
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import mergejoin
 from . import exchange as ex
@@ -105,10 +105,8 @@ def dist_join_count(rkeys, rpayloads, skeys, spayloads, n_r: int, n_s: int,
     rp = pad_to(rpayloads[:n_r], shard_r * n_chips, 0)
     sk = pad_to(skeys[:n_s], shard_s * n_chips, ex.S_PAD_KEY)
     sp = pad_to(spayloads[:n_s], shard_s * n_chips, 0)
-    nv_r = np.full(n_chips, shard_r, np.int32)
-    nv_r[-1] = n_r - shard_r * (n_chips - 1)
-    nv_s = np.full(n_chips, shard_s, np.int32)
-    nv_s[-1] = n_s - shard_s * (n_chips - 1)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     sharded = NamedSharding(mesh, P(AXIS))
     fn = shard_map(

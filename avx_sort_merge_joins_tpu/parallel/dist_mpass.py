@@ -1,0 +1,183 @@
+"""Distributed m-pass join: sorted-run exchange + log-halving pairwise
+merge passes.
+
+The multi-chip realization of the reference's m-pass algorithm
+(reference: src/joins/sortmergejoin_multipass.c): its phase 3.1 merges
+pairs of remote runs while pulling them to the local NUMA node
+(:410-619), and phase 3.2 runs log(numruns) local 2-way merge passes over
+ping-ponged buffers (:621-708).  On TPU:
+
+  phase 1+2  — per-chip sort of the local shard (Pallas multiway_sort or
+               the lax.sort baseline),
+  exchange   — contiguous sorted-slice range exchange (same equi-depth
+               splitters as dist_mway): the ICI all_to_all is the remote
+               pull of phase 3.1, delivering each chip n_chips ascending
+               runs of its owned key range,
+  phase 3    — log2(n_chips) PAIRWISE streaming merge passes
+               (ops.sort.merge_pass) over the received runs — the defining
+               m-pass trade vs m-way's single k-way FIFO-tree pass: the
+               data is re-read once per pass (HBM-bandwidth-bound), but
+               each pass is the cheap 2-way kernel.  The first pass runs
+               in ``b_asc`` mode (both runs ascending, as received);
+               later passes consume the kernel's alternating-direction
+               output runs directly,
+  phase 4    — fused zero-write merge-join count; global count = host sum
+               (disjoint key ranges).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import mergejoin, sort as sort_ops
+from ..ops.bitonic import KEY_POS_INF, LANES
+from . import exchange as ex
+from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
+from .mesh import AXIS, make_mesh
+
+
+def _pairwise_merge_received(rk_flat, counts, n_chips: int, cap: int,
+                             tile_rows: int, use_pallas: bool,
+                             interp: bool):
+    """Reduce n_chips received ascending runs to one sorted column via
+    log2 pairwise merge passes (the reference's ping-ponged halving loop,
+    sortmergejoin_multipass.c:634-656).  Returns (merged2d, total)."""
+    total = jnp.sum(counts)
+    rows = rk_flat.shape[0] // LANES
+    pad_rows = tile_rows + 8
+    if not use_pallas:
+        ks = jax.lax.sort((rk_flat,), num_keys=1)[0]
+        k2 = jnp.concatenate(
+            [ks.reshape(rows, LANES),
+             jnp.full((pad_rows, LANES), KEY_POS_INF, jnp.int32)], axis=0)
+        return k2, total
+    stride = cap // LANES
+    assert cap % (tile_rows * LANES) == 0, "bucket cap must be whole tiles"
+    # pad run count to a power of two with zero-length runs
+    nruns = n_chips if n_chips & (n_chips - 1) == 0 else \
+        1 << (n_chips - 1).bit_length()
+    extra = nruns - n_chips
+    k2 = jnp.concatenate(
+        [rk_flat.reshape(rows, LANES),
+         jnp.full((extra * stride + pad_rows, LANES), KEY_POS_INF,
+                  jnp.int32)], axis=0)
+    lens = jnp.concatenate([counts.astype(jnp.int32),
+                            jnp.zeros(extra, jnp.int32)])
+    first = True
+    while nruns > 1:
+        k2, _, lens = sort_ops.merge_pass(
+            k2, None, lens, stride, tile_rows, b_asc=first,
+            interpret=interp)
+        stride *= 2
+        nruns //= 2
+        first = False
+    return k2, total
+
+
+def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
+                          mesh: Optional[Mesh] = None, slack: float = 2.0,
+                          block_rows: int = 256, tile_rows: int = 128,
+                          fanin: int = 16,
+                          use_pallas: Optional[bool] = None):
+    """Distributed m-pass equi-join match count over a 1-D chip mesh.
+
+    Returns (count, overflow) host ints; overflow triggers an auto-retry
+    with doubled slack, mirroring dist_mway.
+    """
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    interp = _mesh_platform(mesh) != "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+
+    def cap_of(shard):
+        want = int(shard / n_chips * slack)
+        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+
+    cap_r = cap_of(shard_r)
+    cap_s = cap_of(shard_s)
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
+
+    def shard_fn(rk, sk, nvr, nvs):
+        rk, sk = rk[0], sk[0]
+        nvr, nvs = nvr[0], nvs[0]
+        # phase 1+2: local sort
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        # skew-aware equi-depth splitters (pooled quantiles, as dist_mway)
+        nq = 16
+        rflat, sflat = r2.reshape(-1), s2.reshape(-1)
+        qs = []
+        for j in range(nq):
+            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
+            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
+            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
+            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
+        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+        samples = jax.lax.sort((samples,), num_keys=1)[0]
+        ns = samples.shape[0]
+        bounds = [jnp.int32(-(2**31) + 1)]
+        for d in range(1, n_chips):
+            bounds.append(samples[(ns * d) // n_chips])
+        # exchange of contiguous sorted slices (= phase 3.1's remote pull)
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
+        grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
+        gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
+        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+        gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+        # phase 3: log-halving pairwise merge passes
+        mr2, tr = _pairwise_merge_received(grk, grc, n_chips, cap_r,
+                                           tile_rows, use_pallas, interp)
+        ms2, ts = _pairwise_merge_received(gsk, gsc, n_chips, cap_s,
+                                           tile_rows, use_pallas, interp)
+        # phase 4: fused count over the owned key range
+        stats = mergejoin.merge_join_count_fused(
+            mr2, ms2, tr, ts, tile_rows, interpret=interp)
+        return stats.reshape(1, 3), (ovr + ovs).reshape(1)
+
+    sharded = NamedSharding(mesh, P(AXIS))
+    fn = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(AXIS),) * 4,
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    ))
+    with sort_ops.force_interpret(interp):
+        stats, overflow = fn(
+            jax.device_put(rk.reshape(n_chips, shard_r), sharded),
+            jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+            jax.device_put(jnp.asarray(nv_r), sharded),
+            jax.device_put(jnp.asarray(nv_s), sharded),
+        )
+    stats = np.asarray(stats, dtype=np.int64)
+    if int(stats[:, 2].sum()):
+        raise mergejoin.CountLimbOverflow(
+            "per-segment cntR*cntS >= 2^29 on some chip of the "
+            "distributed m-pass count")
+    count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
+    ov = int(np.asarray(overflow).sum())
+    if ov > 0 and slack < 16.0:
+        return dist_mpass_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
+                                     block_rows, tile_rows, fanin, use_pallas)
+    return count, ov

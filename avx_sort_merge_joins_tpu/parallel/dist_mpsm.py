@@ -26,6 +26,7 @@ from jax import shard_map
 
 from ..ops import mergejoin
 from ..ops.bitonic import KEY_POS_INF, LANES
+from . import exchange as ex
 from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
 from .mesh import AXIS, make_mesh
 
@@ -55,10 +56,8 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
 
     rk = pad_to(rkeys[:n_r], shard_r * n_chips)
     sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    nv_r = np.full(n_chips, shard_r, np.int32)
-    nv_r[-1] = n_r - shard_r * (n_chips - 1)
-    nv_s = np.full(n_chips, shard_s, np.int32)
-    nv_s[-1] = n_s - shard_s * (n_chips - 1)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     def shard_fn(rk, sk, nvr, nvs):
         rk, sk = rk[0], sk[0]
@@ -115,6 +114,7 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
 
         total_hi = jnp.int32(0)
         total_lo = jnp.int32(0)
+        total_ov = jnp.int32(0)
         s_cur = s2
         s_cnt = nvs
         for rnd in range(n_chips):
@@ -139,23 +139,24 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
                  jnp.full((tile_rows + 8, LANES), KEY_POS_INF, jnp.int32)],
                 axis=0)
             def src_body(src, carry):
-                hi, lo = carry
+                hi, lo, ov = carry
                 rrun = jax.lax.dynamic_index_in_dim(r_runs, src, 0,
                                                     keepdims=False)
                 stats = count_pair(rrun, grc[src], s_col, n_in)
                 lo = lo + stats[0, 1]
                 hi = hi + stats[0, 0] + (lo >> 30)
-                return hi, lo & ((1 << 30) - 1)
+                ov = ov | stats[0, 2]
+                return hi, lo & ((1 << 30) - 1), ov
 
             # fori keeps ONE count-kernel instance per round in the graph
             # (an unrolled n_chips^2 of them overflows the XLA CPU
             # compiler's stack on wide meshes)
-            total_hi, total_lo = jax.lax.fori_loop(
-                0, n_chips, src_body, (total_hi, total_lo))
+            total_hi, total_lo, total_ov = jax.lax.fori_loop(
+                0, n_chips, src_body, (total_hi, total_lo, total_ov))
             if rnd != n_chips - 1:
                 s_cur = jax.lax.ppermute(s_cur, AXIS, perm)
                 s_cnt = jax.lax.ppermute(s_cnt, AXIS, perm)
-        out = jnp.stack([total_hi, total_lo]).reshape(1, 2)
+        out = jnp.stack([total_hi, total_lo, total_ov]).reshape(1, 3)
         return out, ovr.reshape(1)
 
     sharded = NamedSharding(mesh, P(AXIS))
@@ -165,13 +166,19 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,
     ))
-    stats, overflow = fn(
-        jax.device_put(rk.reshape(n_chips, shard_r), sharded),
-        jax.device_put(sk.reshape(n_chips, shard_s), sharded),
-        jax.device_put(jnp.asarray(nv_r), sharded),
-        jax.device_put(jnp.asarray(nv_s), sharded),
-    )
+    from ..ops import sort as sort_ops
+    with sort_ops.force_interpret(interp):
+        stats, overflow = fn(
+            jax.device_put(rk.reshape(n_chips, shard_r), sharded),
+            jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+            jax.device_put(jnp.asarray(nv_r), sharded),
+            jax.device_put(jnp.asarray(nv_s), sharded),
+        )
     stats = np.asarray(stats, dtype=np.int64)
+    if int(stats[:, 2].sum()):
+        raise mergejoin.CountLimbOverflow(
+            "per-segment cntR*cntS >= 2^29 on some chip of the "
+            "distributed mpsm count")
     count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
     ov = int(np.asarray(overflow).sum())
     if ov > 0 and slack < 16.0:

@@ -37,6 +37,7 @@ from jax import shard_map
 from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
 from ..types import NumaStrategy
+from .exchange import valid_counts as exchange_valid_counts
 from .mesh import AXIS, make_mesh, shuffle_order
 
 
@@ -206,10 +207,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
 
     rk = pad_to(rkeys[:n_r], shard_r * n_chips)
     sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    nv_r = np.full(n_chips, shard_r, np.int32)
-    nv_r[-1] = n_r - shard_r * (n_chips - 1)
-    nv_s = np.full(n_chips, shard_s, np.int32)
-    nv_s[-1] = n_s - shard_s * (n_chips - 1)
+    nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
+    nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
 
     def shard_fn(rk, sk, nvr, nvs):
         rk, sk = rk[0], sk[0]
@@ -255,7 +254,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         # host-side in int64)
         stats = mergejoin.merge_join_count_fused(
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
-        return stats.reshape(1, 2), (ovr + ovs).reshape(1)
+        return stats.reshape(1, 3), (ovr + ovs).reshape(1)
 
     sharded = NamedSharding(mesh, P(AXIS))
     fn = jax.jit(shard_map(
@@ -264,18 +263,23 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))  # noqa: E501  (jax.shard_map, jax>=0.8)
-    stats, overflow = fn(
-        jax.device_put(rk.reshape(n_chips, shard_r), sharded),
-        jax.device_put(sk.reshape(n_chips, shard_s), sharded),
-        jax.device_put(jnp.asarray(nv_r), sharded),
-        jax.device_put(jnp.asarray(nv_s), sharded),
-    )
+    with sort_ops.force_interpret(interp):
+        stats, overflow = fn(
+            jax.device_put(rk.reshape(n_chips, shard_r), sharded),
+            jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+            jax.device_put(jnp.asarray(nv_r), sharded),
+            jax.device_put(jnp.asarray(nv_s), sharded),
+        )
     stats = np.asarray(stats, dtype=np.int64)
+    if int(stats[:, 2].sum()):
+        raise mergejoin.CountLimbOverflow(
+            "per-segment cntR*cntS >= 2^29 on some chip of the "
+            "distributed m-way count")
     count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
     ov = int(np.asarray(overflow).sum())
     if ov > 0 and slack < 16.0:
         # extreme skew overflowed a bucket: retry with doubled capacity
         # (the reference's fixed RELATION_PADDING has no such safety net)
         return dist_mway_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
-                  block_rows, tile_rows, fanin, use_pallas)
+                  block_rows, tile_rows, fanin, use_pallas, numa_strategy)
     return count, ov

@@ -20,9 +20,23 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 R_PAD_KEY = jnp.int32(2**31 - 1)
 S_PAD_KEY = jnp.int32(-(2**31))
+
+
+def valid_counts(n: int, shard: int, n_chips: int) -> np.ndarray:
+    """Per-chip live-tuple counts for an even leading-axis split.
+
+    Chip i owns rows [i*shard, (i+1)*shard) of the padded global column, so
+    its live prefix is clip(n - i*shard, 0, shard).  The clip matters when
+    n < shard*(n_chips-1) (tiny relations on wide meshes): a naive
+    "all-but-last full" split would claim pad slots as valid and let
+    pad-vs-pad sentinel matches inflate counts.
+    """
+    return np.clip(n - shard * np.arange(n_chips, dtype=np.int64),
+                   0, shard).astype(np.int32)
 
 
 def dest_of_keys(keys, n_buckets: int, minkey, maxkey):
@@ -31,10 +45,19 @@ def dest_of_keys(keys, n_buckets: int, minkey, maxkey):
     The distributed analog of the reference's top-bits radix partition with
     bitshift chosen from the key range (sortmergejoin_multiway.c:372-376) —
     range partitioning generalizes it to non-power-of-two key spaces.
+
+    Arithmetic note: a key domain spanning >= 2^31 (full-range keys) wraps
+    int32 subtraction, so offsets are taken in uint32 (exact mod 2^32 —
+    the true span always fits) and scaled in float32.  f32 rounding shifts
+    a boundary by at most a few hundred keys, which only nudges bucket
+    balance: monotonicity (contiguous ranges) and R/S consistency — the
+    correctness requirements — are preserved because rounding is monotone.
     """
-    span = jnp.maximum((maxkey - minkey + 1).astype(jnp.int64), 1)
-    rel = (keys.astype(jnp.int64) - minkey.astype(jnp.int64)) * n_buckets
-    d = (rel // span).astype(jnp.int32)
+    rel = keys.astype(jnp.uint32) - minkey.astype(jnp.uint32)
+    span = (maxkey.astype(jnp.uint32) - minkey.astype(jnp.uint32))\
+        .astype(jnp.float32) + 1.0
+    d = jnp.floor(rel.astype(jnp.float32) *
+                  (jnp.float32(n_buckets) / span)).astype(jnp.int32)
     return jnp.clip(d, 0, n_buckets - 1)
 
 

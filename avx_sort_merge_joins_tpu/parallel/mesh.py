@@ -20,12 +20,22 @@ from ..types import NumaStrategy
 
 AXIS = "chips"
 
+# Set by the CLI's --mapping-file (the cpu-mapping.txt analog): when not
+# None, make_mesh() draws devices from this mesh's custom order instead of
+# jax.devices() order (cpu_mapping.c:46-80 custom topology vs :178-193
+# identity default).
+DEFAULT_MESH: Optional[Mesh] = None
+
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """1-D mesh over the first ``n_devices`` available devices — the analog
-    of cpu_mapping_init's identity thread map (cpu_mapping.c:178-193)."""
+    of cpu_mapping_init's identity thread map (cpu_mapping.c:178-193).
+    A mapping-file mesh installed in DEFAULT_MESH overrides device order."""
     if devices is None:
-        devices = jax.devices()
+        if DEFAULT_MESH is not None:
+            devices = list(np.asarray(DEFAULT_MESH.devices).flat)
+        else:
+            devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))

@@ -104,7 +104,12 @@ class JoinConfig:
     with thread count generalized to a device-mesh shape."""
 
     nthreads: int = 1  # number of mesh devices (chips) to shard over
-    part_fanout: int = 128  # radix partition fan-out (PARTFANOUT_DEFAULT)
+    # multiway-merge fan-in.  The reference's PARTFANOUT_DEFAULT is 128
+    # (src/params.h:17-24) because its fanout also splits work across
+    # threads; on TPU the knob only sets the FIFO-tree fan-in, where 16 is
+    # the sweep-measured optimum (deeper trees lose to VMEM pressure).
+    # Must match the CLI -f default.
+    part_fanout: int = 16
     scalar_sort: bool = False  # use the XLA lax.sort baseline ("scalar" path)
     scalar_merge: bool = False  # use the XLA merge baseline
     mwaybufsize_bytes: int = 0  # 0 → derived from VMEM budget

@@ -60,3 +60,37 @@ def test_cli_materialize_persist(tmp_path, capsys):
         assert len(lines) == rows, name
         k, p = lines[0].split()
         int(k), int(p)
+
+
+def test_cli_dist_materialize_persist(tmp_path, capsys):
+    """--materialize -n 8 --persist: the distributed payload-carrying
+    exchange writes an Out.tbl equal to the numpy join output on a
+    nonunique-R workload."""
+    rc = main(["-a", "m-way", "-n", "8", "-r", "6000", "-s", "9000",
+               "--non-unique", "--materialize", "--persist", str(tmp_path),
+               "-x", "11", "-y", "12"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    results = int(out.split("Results = ")[1].split()[0])
+    rows = [ln.split() for ln in
+            (tmp_path / "Out.tbl").read_text().strip().splitlines()]
+    assert len(rows) == results
+    # oracle: rebuild the same workload and compare the output multiset
+    r_rows = [ln.split() for ln in
+              (tmp_path / "R.tbl").read_text().strip().splitlines()]
+    s_rows = [ln.split() for ln in
+              (tmp_path / "S.tbl").read_text().strip().splitlines()]
+    rk = np.asarray([int(k) for k, _ in r_rows], np.int32)
+    sk = np.asarray([int(k) for k, _ in s_rows], np.int32)
+    sp = np.asarray([int(p) for _, p in s_rows], np.int32)
+    ru, rc_ = np.unique(rk, return_counts=True)
+    pos = np.clip(np.searchsorted(ru, sk), 0, len(ru) - 1)
+    mult = np.where(ru[pos] == sk, rc_[pos], 0)
+    ek, ep = np.repeat(sk, mult), np.repeat(sp, mult)
+    gk = np.asarray([int(k) for k, _ in rows], np.int32)
+    gp = np.asarray([int(p) for _, p in rows], np.int32)
+    assert results == len(ek)
+    np.testing.assert_array_equal(gk[np.lexsort((gp, gk))],
+                                  ek[np.lexsort((ep, ek))])
+    np.testing.assert_array_equal(gp[np.lexsort((gp, gk))],
+                                  ep[np.lexsort((ep, ek))])

@@ -121,6 +121,116 @@ def test_dist_mpsm_zipf(rng):
     assert cnt == merge_join_count_numpy(rk, sk)
 
 
+def test_dist_mpass_vs_oracle(rng):
+    """Distributed m-pass: exchange + log-halving pairwise merge passes
+    (sortmergejoin_multipass.c:410-708 analog)."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 20000, 30000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov = dist_mpass.dist_mpass_join_count(rk, sk, nR, nS,
+                                               use_pallas=False)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpass_ragged_nonunique(rng):
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 10007, 14013
+    rk = rng.integers(1, 3000, nR).astype(np.int32)
+    sk = rng.integers(1, 3000, nS).astype(np.int32)
+    cnt, ov = dist_mpass.dist_mpass_join_count(rk, sk, nR, nS,
+                                               use_pallas=False, slack=3.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpass_zipf(rng):
+    from avx_sort_merge_joins_tpu.datagen import (create_relation_pk,
+                                                  create_relation_zipf,
+                                                  seed_generator)
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 20_000, 30_000
+    seed_generator(42)
+    R = create_relation_pk(nR)
+    seed_generator(43)
+    S = create_relation_zipf(nS, nR, 1.0)
+    rk, _ = R.to_numpy()
+    sk, _ = S.to_numpy()
+    cnt, ov = dist_mpass.dist_mpass_join_count(rk, sk, nR, nS,
+                                               use_pallas=False, slack=4.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpass_pallas_pipeline(rng):
+    """Pin the PALLAS distributed m-pass composition (interpret mode on the
+    CPU mesh): a regression in the b_asc merge kernel or the pass chaining
+    fails here, not in a manual check."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 60_000, 90_000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov = dist_mpass.dist_mpass_join_count(rk, sk, nR, nS,
+                                               use_pallas=True)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mway_pallas_pipeline(rng):
+    """Pin the PALLAS distributed m-way composition (multiway_sort +
+    FIFO-tree merge + fused count, interpreted on the CPU mesh)."""
+    nR, nS = 60_000, 90_000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=True)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpsm_pallas_pipeline(rng):
+    from avx_sort_merge_joins_tpu.parallel import dist_mpsm
+
+    nR, nS = 24_000, 36_000
+    rk = rng.integers(1, 8_000, nR).astype(np.int32)
+    sk = rng.integers(1, 8_000, nS).astype(np.int32)
+    cnt, ov = dist_mpsm.dist_mpsm_join_count(rk, sk, nR, nS,
+                                             use_pallas=True, slack=3.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_join_full_range_span(rng):
+    """Key domain spanning >= 2^31 (negative + positive keys): the uint32
+    range-partition arithmetic must not wrap (int32 subtraction would
+    funnel every tuple into the last bucket)."""
+    nR, nS = 6000, 6000
+    rk = rng.integers(-(2**31) + 2, 2**31 - 2, nR,
+                      dtype=np.int64).astype(np.int32)
+    sk = np.concatenate([rk[: nS // 2],
+                         rng.integers(-(2**31) + 2, 2**31 - 2, nS - nS // 2,
+                                      dtype=np.int64).astype(np.int32)])
+    rp = np.arange(nR, dtype=np.int32)
+    sp = np.arange(nS, dtype=np.int32)
+    cnt, ov = dist_join.dist_join_count(rk, rp, sk, sp, nR, nS)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_tiny_relation_wide_mesh(rng):
+    """n < shard*(n_chips-1): per-chip valid counts must clip to zero so
+    pad-vs-pad sentinel matches never inflate the count."""
+    nR, nS = 5, 2000  # R occupies only the first chip's shard
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    cnt, ov = dist_mway.dist_mway_join_count(rk, sk, nR, nS,
+                                             use_pallas=False)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
 def test_dist_mway_heavy_hitter(rng):
     """90%-duplicate foreign keys (harder than zipf z=1): equi-depth
     splitters + per-source buckets + overflow auto-retry keep counts exact."""

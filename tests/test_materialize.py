@@ -38,3 +38,72 @@ def test_mway_materialize_join(rng):
     order = np.lexsort((sp, sk))
     np.testing.assert_array_equal(gk, sk[order])
     np.testing.assert_array_equal(gp, sp[order])
+
+
+def _expected_pairs(rk, sk, sp):
+    """One output <S-key, S-payload> per match PAIR (dup-R expansion)."""
+    ru, rc = np.unique(rk, return_counts=True)
+    pos = np.searchsorted(ru, sk)
+    pos = np.clip(pos, 0, len(ru) - 1)
+    mult = np.where(ru[pos] == sk, rc[pos], 0)
+    return np.repeat(sk, mult), np.repeat(sp, mult)
+
+
+def test_expand_matches_dup_r(rng):
+    """Physical dup-R expansion: one output tuple per match pair
+    (joincommon.c:266-289 nested duplicate loops)."""
+    nR, nS = 4000, 6000
+    rk = rng.integers(0, 800, nR).astype(np.int32)   # heavy R duplication
+    sk = rng.integers(0, 1000, nS).astype(np.int32)
+    sp = rng.integers(0, 10**6, nS).astype(np.int32)
+    R = Relation.from_numpy(rk)
+    S = Relation.from_numpy(sk, sp)
+    res = sortmergejoin_multiway(R, S, JoinConfig(materialize=True),
+                                 block_rows=128, tile_rows=128)
+    ek, ep = _expected_pairs(rk, sk, sp)
+    assert res.totalresults == len(ek)
+    out = res.resultlist[0].results
+    gk, gp = out.to_numpy()
+    got = np.lexsort((gp, gk))
+    exp = np.lexsort((ep, ek))
+    np.testing.assert_array_equal(gk[got], ek[exp])
+    np.testing.assert_array_equal(gp[got], ep[exp])
+
+
+def test_dist_materialize_nonunique_r(rng):
+    """--materialize -n 8 semantics: distributed payload-carrying exchange
+    + physical dup-R expansion equals the numpy join output."""
+    from avx_sort_merge_joins_tpu.parallel import dist_materialize
+
+    nR, nS = 8000, 12000
+    rk = rng.integers(0, 1500, nR).astype(np.int32)
+    sk = rng.integers(0, 2000, nS).astype(np.int32)
+    rp = np.arange(nR, dtype=np.int32)
+    sp = rng.integers(0, 10**6, nS).astype(np.int32)
+    ks, ps, cnt, ov = dist_materialize.dist_join_materialize(
+        rk, rp, sk, sp, nR, nS)
+    assert ov == 0
+    ek, ep = _expected_pairs(rk, sk, sp)
+    assert cnt == len(ek)
+    got = np.lexsort((ps, ks))
+    exp = np.lexsort((ep, ek))
+    np.testing.assert_array_equal(ks[got], ek[exp])
+    np.testing.assert_array_equal(ps[got], ep[exp])
+
+
+def test_dist_materialize_pk_fk(rng):
+    from avx_sort_merge_joins_tpu.parallel import dist_materialize
+
+    nR, nS = 10000, 15000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    rp = np.arange(nR, dtype=np.int32)
+    sp = np.arange(7, 7 + nS, dtype=np.int32)
+    ks, ps, cnt, ov = dist_materialize.dist_join_materialize(
+        rk, rp, sk, sp, nR, nS)
+    assert ov == 0
+    assert cnt == nS
+    order = np.lexsort((sp, sk))
+    got = np.lexsort((ps, ks))
+    np.testing.assert_array_equal(ks[got], sk[order])
+    np.testing.assert_array_equal(ps[got], sp[order])

@@ -57,3 +57,50 @@ def test_xla_baseline_counter(rng):
     sk = np.sort(rng.integers(0, 100, 1500)).astype(np.int32)
     got = int(MJ.merge_join_count_xla(jnp.asarray(rk), jnp.asarray(sk), 1000, 1500))
     assert got == MJ.merge_join_count_numpy(rk, sk)
+
+
+def _fused_layout(keys_sorted, tile_rows):
+    """(rows,128) ascending layout with the fused kernel's spare rows."""
+    n = len(keys_sorted)
+    rows = -(-n // 128) + tile_rows + 8
+    kf = np.full(rows * 128, 2**31 - 1, np.int32)
+    kf[:n] = keys_sorted
+    return jnp.asarray(kf.reshape(rows, 128))
+
+
+def test_fused_count_limb_overflow_detected():
+    """Both-sides-hot key with cntR*cntS >= 2^29: the fused kernel must
+    raise the overflow flag (never return a silently wrapped count) —
+    the reference's scalar loops are exact for all inputs
+    (joincommon.c:260-305)."""
+    n = 1 << 15  # 2^15 * 2^15 = 2^30 matches on one key
+    rk = np.full(n, 7, np.int32)
+    sk = np.full(n, 7, np.int32)
+    stats = MJ.merge_join_count_fused(_fused_layout(rk, 128),
+                                      _fused_layout(sk, 128), n, n, 128)
+    with pytest.raises(MJ.CountLimbOverflow):
+        MJ.finish_count_fused(stats)
+
+
+def test_fused_count_below_limb_limit_exact():
+    """Just below the invariant: 2^14 * 2^14 = 2^28 < 2^29 stays exact and
+    unflagged."""
+    n = 1 << 14
+    rk = np.full(n, 7, np.int32)
+    sk = np.full(n, 7, np.int32)
+    stats = MJ.merge_join_count_fused(_fused_layout(rk, 128),
+                                      _fused_layout(sk, 128), n, n, 128)
+    assert MJ.finish_count_fused(stats) == n * n
+
+
+def test_mway_model_overflow_fallback():
+    """The m-way model returns the exact count through the wide fallback
+    when the fused kernel overflows."""
+    from avx_sort_merge_joins_tpu.models.mway import sortmergejoin_multiway
+    from avx_sort_merge_joins_tpu.types import Relation
+
+    n = 1 << 15
+    R = Relation.from_numpy(np.full(n, 7, np.int32))
+    Sr = Relation.from_numpy(np.full(n, 7, np.int32))
+    res = sortmergejoin_multiway(R, Sr, block_rows=128, tile_rows=128)
+    assert res.totalresults == n * n
