@@ -2,7 +2,8 @@
 (reference: src/bench/partitioningbench.c: ``NUMTUPLES WHATTODO RDXBITS``
 over variants normal/optimized/V2/histogram+memcpy/memcpy).
 
-Variants here: ``hist`` (Pallas lane-rotation histogram), ``hist-xla``
+Variants here: ``hist`` (Pallas lane-rotation histogram, bits <= 7; MXU
+one-hot matmul above), ``hist-mxu`` (MXU form at any bits), ``hist-xla``
 (scatter-add), ``partition`` (full grouped layout), ``copy`` (roofline).
 """
 
@@ -24,7 +25,8 @@ def main(argv=None) -> int:
     p.add_argument("ntuples", type=int, nargs="?", default=8 * (1 << 20),
                    help="tuples (reference default 8M)")
     p.add_argument("what", nargs="?", default="all",
-                   choices=["hist", "hist-xla", "partition", "copy", "all"])
+                   choices=["hist", "hist-mxu", "hist-xla", "partition",
+                            "copy", "all"])
     p.add_argument("rdxbits", type=int, nargs="?", default=7)
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args(argv)
@@ -44,8 +46,11 @@ def main(argv=None) -> int:
         print(f"{name} {secs*1e6:.0f} {n/secs/1e6:.2f}")
 
     if args.what in ("hist", "all"):
-        fn = jax.jit(lambda x: pt.radix_hist(x, nbits))
+        fn = jax.jit(lambda x: pt.radix_hist_any(x, nbits))
         report("hist", common.time_best(fn, k2, reps=args.reps))
+    if args.what in ("hist-mxu", "all"):
+        fn = jax.jit(lambda x: pt.radix_hist_mxu(x, nbits))
+        report("hist-mxu", common.time_best(fn, k2, reps=args.reps))
     if args.what in ("hist-xla", "all"):
         fn = jax.jit(lambda x: pt.radix_hist_xla(x, nbits))
         report("hist-xla", common.time_best(fn, kd, reps=args.reps))

@@ -131,6 +131,40 @@ def _run_dist_materialize(args, R, S, mesh):
         throughput=(R.num_tuples + S.num_tuples) / dt)
 
 
+def _run_scale_tier(args) -> int:
+    """Workload-A tier: relations too large to exist on the host (or any
+    one chip) are generated per-shard on device and joined through the
+    pre-sharded distributed m-way (parallel.scale — the 1.6B⋈1.6B config,
+    tput-scalability.sh:15-16)."""
+    import jax
+
+    from .parallel import scale
+    from .parallel.mesh import make_mesh
+
+    if len(jax.devices()) < args.nthreads:
+        print(f"[ERROR] {args.nthreads} chips requested, "
+              f"{len(jax.devices())} available", file=sys.stderr)
+        return 2
+    mesh = make_mesh(args.nthreads)
+    print(f"[INFO ] scale tier: sharded on-device generation of "
+          f"{args.r_size}⋈{args.s_size} over {args.nthreads} chips",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    cnt, overflow = scale.workload_a_join_count(
+        args.r_size, args.s_size, mesh, seed=args.r_seed,
+        fanin=args.partfanout)
+    dt = time.perf_counter() - t0
+    if overflow:
+        print(f"[ERROR] exchange bucket overflow ({overflow})",
+              file=sys.stderr)
+        return 1
+    nt = args.r_size + args.s_size
+    print(f"[STATS] NUMTUPLES {nt}, TOTAL-TIME-USECS {dt*1e6:.1f}, "
+          f"TUPLES-PER-SECOND {nt/dt:.0f}", file=sys.stderr)
+    print(f"Results = {cnt}")
+    return 0
+
+
 def run_join(args, R, S):
     from .types import JoinConfig
 
@@ -269,6 +303,19 @@ def main(argv=None) -> int:
         from .utils.profiling import trace
         trace_ctx = trace(args.perfout)
         trace_ctx.__enter__()
+    # workload-A scale tier: never materialize the relations on the host
+    import os as _os
+    scale_min = int(_os.environ.get("SMJ_SHARDED_GEN_MIN", 500_000_000))
+    if (args.nthreads > 1 and max(args.r_size, args.s_size) >= scale_min
+            and not (args.non_unique or args.full_range or args.skew > 0
+                     or args.materialize or args.key8b)
+            and args.r_size % args.nthreads == 0
+            and args.s_size % args.nthreads == 0):
+        try:
+            return _run_scale_tier(args)
+        finally:
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
     try:
         if args.key8b:
             result, ntotal = _run_key8b(args)
@@ -288,6 +335,17 @@ def main(argv=None) -> int:
     total = result.phases.get("total", 0.0) or 1e-12
     print(f"[STATS] NUMTUPLES {ntotal}, TOTAL-TIME-USECS {total*1e6:.1f}, "
           f"TUPLES-PER-SECOND {result.throughput:.0f}", file=sys.stderr)
+    # the reference scripts' record row (tput-scalability.sh:28 columns,
+    # microseconds standing in for cycles) + %-of-roofline per phase
+    from .utils import profiling
+    print(profiling.record_line(args.algo, args.nthreads, R.num_tuples,
+                                S.num_tuples, 0, result.phases),
+          file=sys.stderr)
+    if result.bytes_moved:
+        bm = profiling.BytesMoved(dict(result.bytes_moved))
+        report = bm.roofline_report(result.phases, profiling.HBM_GBPS)
+        if report:
+            print(report, file=sys.stderr)
     print(f"Results = {result.totalresults}")
     if args.persist:
         import os

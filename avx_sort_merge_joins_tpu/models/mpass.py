@@ -23,18 +23,45 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from ..types import JoinConfig, JoinResult, Relation
 from ..ops import mergejoin, sort as sort_ops
 from . import common
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _mpass_device(rk, rp, sk, sp, nR: int, nS: int, block_rows: int, tile_rows: int):
-    rks, rps = sort_ops.sort(rk, rp, nR, block_rows, tile_rows)
-    sks, sps = sort_ops.sort_descending(sk, sp, nS, block_rows, tile_rows)
-    stats = mergejoin.merge_join_count(rks, sks, nR, nS, tile_rows)
-    return rks, rps, sks, sps, stats
+def _pair_levels(n: int, block_rows: int):
+    """Static (nruns, span) schedule of the log2 pairwise merge passes —
+    the reference's halving loop (sortmergejoin_multipass.c:634-656)."""
+    nruns = max(1, sort_ops.cdiv(n, block_rows * sort_ops.LANES))
+    span = block_rows * sort_ops.LANES
+    levels = []
+    stride = block_rows
+    while nruns > 1:
+        levels.append((stride, span, nruns))
+        stride *= 2
+        span *= 2
+        nruns = -(-nruns // 2)
+    return levels
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _block_phase(k, p, n: int, block_rows: int, tile_rows: int, flip: bool):
+    k2, p2 = sort_ops.prepare(k, p, n, block_rows, tile_rows, flip=flip)
+    nblocks = max(1, sort_ops.cdiv(n, block_rows * sort_ops.LANES))
+    sort_rows = nblocks * block_rows
+    ks, ps = sort_ops.sort_blocks(k2[:sort_rows], p2[:sort_rows], block_rows,
+                                  alternating=nblocks > 1, flip=flip)
+    ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
+    ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
+    return ks, ps
+
+
+def _merge_pass_level(ks, ps, n, level, tile_rows, flip):
+    stride, span, nruns = level
+    ks, ps, _ = sort_ops.merge_pass(ks, ps, None, stride, tile_rows,
+                                    flip=flip, uniform_lens=(nruns, n, span))
+    return ks, ps
 
 
 def sortmergejoin_multipass(R: Relation, S: Relation,
@@ -43,13 +70,65 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
                             tile_rows: int = sort_ops.TILE_ROWS_DEFAULT) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
+    levels_r = _pair_levels(nR, block_rows)
+    levels_s = _pair_levels(nS, block_rows)
 
-    out = {}
+    # phase-split dispatches in the reference's record structure (SORT /
+    # MERGE1 / MERGEREST / MJOIN; the partition phase has no single-chip
+    # analog and reports 0) — sortmergejoin_multipass.c:170-271's
+    # barrier-separated cycles
+    def sort_phase(_):
+        rks, rps = _block_phase(R.keys, R.payloads, nR, block_rows,
+                                tile_rows, False)
+        sks, sps = _block_phase(S.keys, S.payloads, nS, block_rows,
+                                tile_rows, True)
+        return rks, rps, sks, sps
 
-    def pipeline(_):
-        return _mpass_device(R.keys, R.payloads, S.keys, S.payloads,
-                             nR, nS, block_rows, tile_rows)
+    def merge1_phase(st):
+        rks, rps, sks, sps = st
+        if levels_r:
+            rks, rps = jax.jit(functools.partial(
+                _merge_pass_level, n=nR, level=levels_r[0],
+                tile_rows=tile_rows, flip=False))(rks, rps)
+        if levels_s:
+            sks, sps = jax.jit(functools.partial(
+                _merge_pass_level, n=nS, level=levels_s[0],
+                tile_rows=tile_rows, flip=True))(sks, sps)
+        return rks, rps, sks, sps
 
-    (rks, rps, sks, sps, stats), timings = common.run_phases({"sortmerge": pipeline})
+    def mergerest_phase(st):
+        rks, rps, sks, sps = st
+        for level in levels_r[1:]:
+            rks, rps = jax.jit(functools.partial(
+                _merge_pass_level, n=nR, level=level,
+                tile_rows=tile_rows, flip=False))(rks, rps)
+        for level in levels_s[1:]:
+            sks, sps = jax.jit(functools.partial(
+                _merge_pass_level, n=nS, level=level,
+                tile_rows=tile_rows, flip=True))(sks, sps)
+        return rks, rps, sks, sps
+
+    @jax.jit
+    def count(rk2, sk2):
+        return mergejoin.merge_join_count(
+            rk2.reshape(-1), sk2.reshape(-1), nR, nS, tile_rows)
+
+    def join_phase(st):
+        rks, rps, sks, sps = st
+        return count(rks, sks)
+
+    stats, timings = common.run_phases({"sort": sort_phase,
+                                        "merge1": merge1_phase,
+                                        "mergerest": mergerest_phase,
+                                        "mergejoin": join_phase})
     matches = mergejoin.finish_count(stats, tile_rows)
-    return common.make_result(matches, nR, nS, timings)
+    result = common.make_result(matches, nR, nS, timings)
+    nt = nR + nS
+    result.bytes_moved = {
+        "sort": 2 * 8 * nt,  # key+payload columns r+w
+        "merge1": 2 * 8 * nt if (levels_r or levels_s) else 0,
+        "mergerest": 2 * 8 * (nR * max(0, len(levels_r) - 1) +
+                              nS * max(0, len(levels_s) - 1)),
+        "mergejoin": 2 * 8 * nt,  # two tag merges, read+write
+    }
+    return result

@@ -35,12 +35,14 @@ NCHUNKS_DEFAULT = 4
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _mpsm_device(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
-                 block_rows: int, tile_rows: int):
+def _mpsm_sort(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
+               block_rows: int, tile_rows: int):
+    """Phase 1+2: sort R fully, sort each S chunk locally (S runs are never
+    merged globally — MPSM's defining trade)."""
     rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin,
                               return_2d=True)
     chunk = -(-nS // nchunks)
-    stats = []
+    schunks = []
     for c in range(nchunks):
         lo = c * chunk
         ln = min(chunk, nS - lo)
@@ -49,9 +51,8 @@ def _mpsm_device(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
         sks, _ = mw.multiway_sort(sk[lo:lo + ln], None, ln,
                                   block_rows, tile_rows, fanin,
                                   return_2d=True)
-        stats.append(mergejoin.merge_join_count_fused(rks, sks, nR, ln,
-                                                      tile_rows))
-    return stats
+        schunks.append(sks)
+    return rks, schunks
 
 
 def sortmergejoin_mpsm(R: Relation, S: Relation,
@@ -63,12 +64,26 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
                        ) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
+    chunk = -(-nS // nchunks)
 
-    def pipeline(_):
-        return _mpsm_device(R.keys, S.keys,
-                            nR, nS, nchunks, fanin, block_rows, tile_rows)
+    def sort_phase(_):
+        return _mpsm_sort(R.keys, S.keys,
+                          nR, nS, nchunks, fanin, block_rows, tile_rows)
 
-    stats_list, timings = common.run_phases({"sortmerge": pipeline})
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def count1(rks, sks, ln):
+        return mergejoin.merge_join_count_fused(rks, sks, nR, ln, tile_rows)
+
+    def join_phase(st):
+        rks, schunks = st
+        stats = []
+        for c, sks in enumerate(schunks):
+            ln = min(chunk, nS - c * chunk)
+            stats.append(count1(rks, sks, ln))
+        return stats
+
+    stats_list, timings = common.run_phases({"sort": sort_phase,
+                                             "mergejoin": join_phase})
     try:
         matches = sum(mergejoin.finish_count_fused(s) for s in stats_list)
     except mergejoin.CountLimbOverflow:
@@ -78,4 +93,13 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
              "wide path")
         matches = mergejoin.merge_join_count_numpy(
             np.asarray(R.keys[:nR]), np.asarray(S.keys[:nS]))
-    return common.make_result(matches, nR, nS, timings)
+    result = common.make_result(matches, nR, nS, timings)
+    levels = len(mw.merge_levels(nR, block_rows, fanin)) + 1
+    levels_s = len(mw.merge_levels(chunk, block_rows, fanin)) + 1
+    nchunks_live = min(nchunks, -(-nS // max(1, chunk)))
+    result.bytes_moved = {
+        "sort": 2 * 4 * (nR * levels + nS * levels_s),
+        # every S chunk join re-reads all of R (the scan-all-runs shape)
+        "mergejoin": 4 * (nR * nchunks_live + nS),
+    }
+    return result

@@ -160,28 +160,69 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
             matches = _finish_or_widen(stats, R, S)
         return common.make_result(matches, nR, nS, timings)
 
-    # phase-split run (the reference's Sort/Merge/Join cycle stats,
-    # joincommon.c:175-196); each phase is its own device dispatch so the
-    # timings are honest at the cost of one extra sync each
-    sort_r = jax.jit(functools.partial(
-        mw.multiway_sort, n=nR, block_rows=block_rows, tile_rows=tile_rows,
-        fanin=fanin, return_2d=True))
-    sort_s = jax.jit(functools.partial(
-        mw.multiway_sort, n=nS, block_rows=block_rows, tile_rows=tile_rows,
-        fanin=fanin, return_2d=True))
+    # phase-split run in the reference's record structure (PART SORT
+    # MERGE1 MERGEREST MJOIN, joincommon.c:175-196 /
+    # tput-scalability.sh:28); each phase is its own device dispatch so
+    # the timings are honest at the cost of one extra sync each.  The
+    # partition phase has no single-chip analog (the block decomposition
+    # plays its role at zero HBM cost) and reports 0.
+    blocks_r = jax.jit(functools.partial(
+        mw.sort_blocks_phase, n=nR, block_rows=block_rows,
+        tile_rows=tile_rows))
+    blocks_s = jax.jit(functools.partial(
+        mw.sort_blocks_phase, n=nS, block_rows=block_rows,
+        tile_rows=tile_rows))
+    levels_r = mw.merge_levels(nR, block_rows, fanin)
+    levels_s = mw.merge_levels(nS, block_rows, fanin)
     count = jax.jit(functools.partial(
         mergejoin.merge_join_count_fused, nR=nR, nS=nS,
         tile_rows=COUNT_TILE_ROWS))
 
     def sort_phase(_):
-        rks, _ = sort_r(R.keys, None)
-        sks, _ = sort_s(S.keys, None)
+        rks, _ = blocks_r(R.keys, None)
+        sks, _ = blocks_s(S.keys, None)
+        return rks, sks
+
+    def merge1_phase(pair):
+        rks, sks = pair
+        if levels_r:
+            rks, _ = jax.jit(functools.partial(
+                mw.merge_level, n=nR, level=levels_r[0],
+                tile_rows=tile_rows))(rks, None)
+        if levels_s:
+            sks, _ = jax.jit(functools.partial(
+                mw.merge_level, n=nS, level=levels_s[0],
+                tile_rows=tile_rows))(sks, None)
+        return rks, sks
+
+    def mergerest_phase(pair):
+        rks, sks = pair
+        for level in levels_r[1:]:
+            rks, _ = jax.jit(functools.partial(
+                mw.merge_level, n=nR, level=level,
+                tile_rows=tile_rows))(rks, None)
+        for level in levels_s[1:]:
+            sks, _ = jax.jit(functools.partial(
+                mw.merge_level, n=nS, level=level,
+                tile_rows=tile_rows))(sks, None)
         return rks, sks
 
     def join_phase(sorted_pair):
         return count(*sorted_pair)
 
     stats, timings = common.run_phases({"sort": sort_phase,
+                                        "merge1": merge1_phase,
+                                        "mergerest": mergerest_phase,
                                         "mergejoin": join_phase})
     matches = _finish_or_widen(stats, R, S)
-    return common.make_result(matches, nR, nS, timings)
+    result = common.make_result(matches, nR, nS, timings)
+    # r+w bytes per phase for the roofline report (keys-only = 4 B/tuple)
+    nt = nR + nS
+    result.bytes_moved = {
+        "sort": 2 * 4 * nt,
+        "merge1": 2 * 4 * nt if (levels_r or levels_s) else 0,
+        "mergerest": 2 * 4 * (nR * max(0, len(levels_r) - 1) +
+                              nS * max(0, len(levels_s) - 1)),
+        "mergejoin": 4 * nt,  # zero-write streaming count
+    }
+    return result

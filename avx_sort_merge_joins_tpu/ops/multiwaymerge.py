@@ -393,19 +393,14 @@ def scalar_multiway_merge(runs):
     return np.asarray(k, np.int32), np.asarray(p, np.int32)
 
 
-def multiway_sort(keys, payloads, n: int | None = None,
-                  block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
-                  tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
-                  fanin: int = 16, return_2d: bool = False):
-    """Full sort via block sort + log_fanin(#blocks) multiway merge passes —
-    the analog of avxsortmultiway_tuples (avxsort_multiway.c:96-152), which
-    sorts cache-sized blocks then k-way-merges them in one pass instead of
-    log2 pairwise passes.  Returns 1-D (keys, payloads) of length n
-    (payloads=None sorts keys only and returns None payloads).
-    """
+
+def sort_blocks_phase(keys, payloads, n: int,
+                      block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
+                      tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
+    """Phase 1 of the multiway sort: pad/reshape and Pallas-sort each
+    block_rows*128 block ascending (the in-cache AVX sort of partitions,
+    sortmergejoin_multiway.c:388-460).  Returns (k2, p2)."""
     keys_only = payloads is None
-    if n is None:
-        n = int(keys.shape[0])
     rows = sort_ops.padded_rows(n, block_rows, tile_rows)
     cap = rows * LANES
     # all blocks sort ascending, so +inf pads sort to the junk end everywhere
@@ -424,16 +419,48 @@ def multiway_sort(keys, payloads, n: int | None = None,
     ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
     if not keys_only:
         ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
-    stride = block_rows
-    nruns = nblocks
-    span = block_rows * LANES
+    return ks, ps
+
+
+def merge_levels(n: int, block_rows: int, fanin: int):
+    """Static (stride, span, nruns, w) schedule of the k-way merge levels
+    for an n-tuple multiway sort — host metadata for per-phase dispatch."""
+    nruns = max(1, sort_ops.cdiv(n, block_rows * LANES))
+    stride, span = block_rows, block_rows * LANES
+    levels = []
     while nruns > 1:
         w = min(fanin, 1 << (nruns - 1).bit_length())
-        ks, ps, lens = multiway_merge(ks, ps, None, stride, w, tile_rows,
-                                      uniform_lens=(nruns, n, span))
+        levels.append((stride, span, nruns, w))
         stride *= w
         span *= w
-        nruns = len(lens)
+        nruns = -(-nruns // w)
+    return levels
+
+
+def merge_level(ks, ps, n: int, level, tile_rows: int):
+    """One k-way merge level over the uniform-lens layout."""
+    stride, span, nruns, w = level
+    ks, ps, _ = multiway_merge(ks, ps, None, stride, w, tile_rows,
+                               uniform_lens=(nruns, n, span))
+    return ks, ps
+
+
+def multiway_sort(keys, payloads, n: int | None = None,
+                  block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
+                  tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
+                  fanin: int = 16, return_2d: bool = False):
+    """Full sort via block sort + log_fanin(#blocks) multiway merge passes —
+    the analog of avxsortmultiway_tuples (avxsort_multiway.c:96-152), which
+    sorts cache-sized blocks then k-way-merges them in one pass instead of
+    log2 pairwise passes.  Returns 1-D (keys, payloads) of length n
+    (payloads=None sorts keys only and returns None payloads).
+    """
+    keys_only = payloads is None
+    if n is None:
+        n = int(keys.shape[0])
+    ks, ps = sort_blocks_phase(keys, payloads, n, block_rows, tile_rows)
+    for level in merge_levels(n, block_rows, fanin):
+        ks, ps = merge_level(ks, ps, n, level, tile_rows)
     if return_2d:
         # padded (rows,128) layouts with the spare window tile intact —
         # directly consumable by the streaming count/merge kernels

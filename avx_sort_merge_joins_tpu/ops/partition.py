@@ -119,6 +119,27 @@ def radix_hist_xla(keys, nradixbits: int, bitshift: int = 0):
     return jnp.zeros((1 << nradixbits,), jnp.int32).at[pid].add(1)
 
 
+def radix_hist_mxu(keys, nradixbits: int, bitshift: int = 0):
+    """High-fanout histogram on the MXU: the rank-2 one-hot matmul
+    (ops.mxu_permute.onehot_hist).  The lane-rotation Pallas kernel
+    unrolls fanout/128 x 128 rolls and falls off a compile cliff past
+    2^7; the matmul form covers the reference's full bits 2..16 grid
+    (scripts/partitioning-bench.sh) in one code path.  Exact (see
+    mxu_permute docstring).  Returns the (fanout,) global histogram."""
+    from . import mxu_permute
+
+    pid = partition_ids(keys, nradixbits, bitshift)
+    return mxu_permute.onehot_hist(pid, 1 << nradixbits)
+
+
+def radix_hist_any(keys2d, nradixbits: int, bitshift: int = 0):
+    """Global histogram at any fanout: the roll-based Pallas kernel below
+    2^8 (measured best there), the MXU one-hot form above."""
+    if nradixbits <= 7:
+        return jnp.sum(radix_hist(keys2d, nradixbits, bitshift), axis=0)
+    return radix_hist_mxu(keys2d, nradixbits, bitshift)
+
+
 # --------------------------------------------------------------------------
 # full partition
 # --------------------------------------------------------------------------

@@ -171,12 +171,18 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                          block_rows: int = 256, tile_rows: int = 128,
                          fanin: int = 16,
                          use_pallas: Optional[bool] = None,
-                         numa_strategy: Optional[str] = None):
+                         numa_strategy: Optional[str] = None,
+                         pre_sharded: bool = False):
     """Distributed m-way equi-join match count over a 1-D chip mesh.
 
     Returns (count, overflow) host ints; overflow must be 0 (raise slack).
     ``use_pallas=None`` auto-selects: Pallas kernels on TPU, XLA baseline
     elsewhere (the CPU-mesh dryrun path).
+
+    ``pre_sharded``: rkeys/skeys are already (n_chips, shard) device
+    arrays laid out with this mesh's sharding (the workload-A scale tier,
+    parallel.scale — 1.6B-tuple relations never exist on the host or on
+    any single chip); sizes must then divide evenly by n_chips.
     """
     mesh = mesh or make_mesh()
     if use_pallas is None:
@@ -200,15 +206,23 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     cap_r = cap_of(shard_r)
     cap_s = cap_of(shard_s)
 
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
     nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
+    sharded = NamedSharding(mesh, P(AXIS))
+    if pre_sharded:
+        assert rkeys.shape == (n_chips, shard_r), rkeys.shape
+        assert skeys.shape == (n_chips, shard_s), skeys.shape
+        rk_dev, sk_dev = rkeys, skeys
+    else:
+        def pad_to(x, total):
+            x = jnp.asarray(x, jnp.int32)
+            out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+            return out.at[: x.shape[0]].set(x)
+
+        rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+        sk = pad_to(skeys[:n_s], shard_s * n_chips)
+        rk_dev = jax.device_put(rk.reshape(n_chips, shard_r), sharded)
+        sk_dev = jax.device_put(sk.reshape(n_chips, shard_s), sharded)
 
     def shard_fn(rk, sk, nvr, nvs):
         rk, sk = rk[0], sk[0]
@@ -256,7 +270,6 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
         return stats.reshape(1, 3), (ovr + ovs).reshape(1)
 
-    sharded = NamedSharding(mesh, P(AXIS))
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS),) * 4,
@@ -265,8 +278,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     ))  # noqa: E501  (jax.shard_map, jax>=0.8)
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(
-            jax.device_put(rk.reshape(n_chips, shard_r), sharded),
-            jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+            rk_dev, sk_dev,
             jax.device_put(jnp.asarray(nv_r), sharded),
             jax.device_put(jnp.asarray(nv_s), sharded),
         )
@@ -281,5 +293,6 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         # extreme skew overflowed a bucket: retry with doubled capacity
         # (the reference's fixed RELATION_PADDING has no such safety net)
         return dist_mway_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
-                  block_rows, tile_rows, fanin, use_pallas, numa_strategy)
+                  block_rows, tile_rows, fanin, use_pallas, numa_strategy,
+                  pre_sharded)
     return count, ov

@@ -135,3 +135,7 @@ class JoinResult:
     resultlist: list
     phases: dict  # phase name -> seconds
     throughput: float = 0.0  # (|R| + |S|) / seconds, reference joincommon.c:214-227
+    # phase name -> HBM bytes moved (r+w), for the %-of-roofline report
+    # (the analog of the reference's merge-vs-memcpy speed-of-light checks,
+    # multiwaymergebench.c:178-221)
+    bytes_moved: dict = dataclasses.field(default_factory=dict)

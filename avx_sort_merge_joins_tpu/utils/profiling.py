@@ -122,6 +122,36 @@ def measure_copy_bandwidth(nbytes: int = 1 << 30, reps: int = 3) -> float:
     return 10 * 2 * nbytes / best / 1e9
 
 
+# Measured HBM copy roofline of the bench TPU (v5e via axon), overridable
+# for other parts: the denominator of every %-of-roofline report.
+import os
+
+HBM_GBPS = float(os.environ.get("SMJ_HBM_GBPS", "567"))
+
+# canonical phase order of the reference's record format
+# (scripts/tput-scalability.sh:28: PARTCYC SORTCYC MERGE1CYC MERGERESTCYC
+# MJOINCYC NUMTUP USECS TPUT) — we report microseconds where the reference
+# reports cycles; column structure is identical so grid outputs diff
+# row-for-row.
+RECORD_PHASES = ("part", "sort", "merge1", "mergerest", "mergejoin")
+
+
+def record_line(algo: str, nthreads: int, n_r: int, n_s: int, run_no: int,
+                phases: Dict[str, float]) -> str:
+    """One grid-record row in the reference scripts' column layout."""
+    ntuples = n_r + n_s
+    total = phases.get("total", sum(
+        v for k, v in phases.items() if k != "total"))
+
+    def us(k):
+        return phases.get(k, 0.0) * 1e6
+
+    cols = " ".join(f"{us(k):.0f}" for k in RECORD_PHASES)
+    tput = ntuples / total if total > 0 else 0.0
+    return (f"[RECORD] {algo} {nthreads} {n_r} {n_s} {run_no} {cols} "
+            f"{ntuples} {total * 1e6:.0f} {tput:.0f}")
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace context — the PCM_start/stop analog

@@ -2,8 +2,12 @@
 # Thread(chip)-scaling experiment — the tput-scalability.sh analog
 # (reference: scripts/tput-scalability.sh: algos x {64..1} threads x reps,
 #  AVX and scalar, record format
-#  "ALGO NTHREADS RUNNO ... NUMTUP USECS TPUT", :27-38).
-# Chips replace threads; the scalar runs use --scalarsort/--scalarmerge.
+#  "ALGO NTHREADS RUNNO PARTCYC SORTCYC MERGE1CYC MERGERESTCYC MJOINCYC
+#   NUMTUP USECS TPUT", :27-38 and :47-60 for the scalar sweep).
+# Chips replace threads; cycles are reported as microseconds; every config
+# runs twice — Pallas kernels and the scalar (XLA lax.sort) baseline —
+# mirroring the reference's AVX vs scalar double sweep.  [RECORD] rows on
+# stderr are grepped into OUT so rows are comparable column-for-column.
 set -u
 # run from anywhere: put the repo root on PYTHONPATH
 export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
@@ -15,12 +19,22 @@ ALGOS=${ALGOS:-"m-way m-pass mpsm"}
 LOG=${LOG:-tput-scalability.log}
 OUT=${OUT:-tput-scalability.txt}
 
+run_one() {  # algo chips rep extra-flags...
+  local algo=$1 n=$2 rep=$3; shift 3
+  local tag=$*
+  echo "# $algo chips=$n rep=$rep ${tag:-pallas}" >> "$LOG"
+  python -m avx_sort_merge_joins_tpu -a "$algo" -n "$n" \
+    -r "$NR" -s "$NS" "$@" > >(cat >> "$LOG") \
+    2> >(tee -a "$LOG" | grep -E '^\[RECORD\]' \
+         | sed "s/\$/ ${tag:-pallas}/" >> "$OUT")
+}
+
 for algo in $ALGOS; do
   for n in $CHIPS; do
     for rep in $(seq 1 "$REPS"); do
-      echo "# $algo chips=$n rep=$rep" >> "$LOG"
-      python -m avx_sort_merge_joins_tpu -a "$algo" -n "$n" \
-        -r "$NR" -s "$NS" >> "$OUT" 2>> "$LOG"
+      run_one "$algo" "$n" "$rep"                       # Pallas kernels
+      run_one "$algo" "$n" "$rep" --scalarsort --scalarmerge  # scalar sweep
     done
   done
 done
+wait

@@ -242,3 +242,31 @@ def test_dist_mway_heavy_hitter(rng):
                                              use_pallas=False)
     assert ov == 0
     assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_workload_a_scale_tier_scaled_down():
+    """The 1.6B workload-A code path (sharded on-device generation ->
+    pre-sharded dist m-way) at a mesh-friendly scaled size: count == |S|
+    with no host-side relation ever materialized."""
+    from avx_sort_merge_joins_tpu.parallel import scale
+
+    nR = nS = 1 << 20
+    cnt, ov = scale.workload_a_join_count(nR, nS, use_pallas=False)
+    assert ov == 0
+    assert cnt == nS
+
+
+def test_workload_a_sharded_generation_unique():
+    """Strided per-chip key sets partition 1..n exactly."""
+    import numpy as np
+
+    from avx_sort_merge_joins_tpu.parallel import scale
+    from avx_sort_merge_joins_tpu.parallel.mesh import make_mesh
+
+    n = 1 << 16
+    mesh = make_mesh()
+    rk, sk = scale.make_workload_a_sharded(n, n, mesh)
+    keys = np.asarray(rk).reshape(-1)
+    assert sorted(keys.tolist()) == list(range(1, n + 1))
+    s = np.asarray(sk).reshape(-1)
+    assert s.min() >= 1 and s.max() <= n
