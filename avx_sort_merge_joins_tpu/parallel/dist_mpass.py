@@ -80,15 +80,71 @@ def _pairwise_merge_received(rk_flat, counts, n_chips: int, cap: int,
     return k2, total
 
 
+def _overlap_receive_merge(b2, counts, n_chips: int, cap: int,
+                           tile_rows: int, interp: bool):
+    """ppermute-round exchange with merge-as-they-arrive.
+
+    Round t delivers the bucket piece from chip (me - t); every second
+    arrival immediately pairwise-merges with its predecessor while the
+    next round's permute is in flight — the data dependencies leave XLA's
+    async-collective scheduler free to overlap ICI with the merge kernels,
+    which is the TPU realization of the reference's
+    mpass_firstnumamerge_phase pulling remote runs WHILE merging them
+    (sortmergejoin_multipass.c:410-619).
+
+    Returns (acc, lens2): K/2 merged ascending runs of stride 2*cap rows
+    laid out in ``acc``, with traced lengths ``lens2``.
+    """
+    me = jax.lax.axis_index(AXIS)
+    stride = cap // LANES
+    pad_rows = tile_rows + 8
+    npairs = n_chips // 2
+    acc = jnp.full(((n_chips * stride + pad_rows), LANES), KEY_POS_INF,
+                   jnp.int32)
+    lens2 = []
+    pieceA = cntA = None
+    for t in range(n_chips):
+        if t == 0:
+            piece = jnp.take(b2, me % n_chips, axis=0)
+            cnt = jnp.take(counts, me % n_chips)
+        else:
+            perm = [(x, (x + t) % n_chips) for x in range(n_chips)]
+            dest = (me + t) % n_chips
+            piece = jax.lax.ppermute(jnp.take(b2, dest, axis=0), AXIS, perm)
+            cnt = jax.lax.ppermute(jnp.take(counts, dest), AXIS, perm)
+        if t % 2 == 0:
+            pieceA, cntA = piece, cnt
+            continue
+        # merge the completed pair on a private array so the next round's
+        # permute has no dependency on it
+        g = t // 2
+        arr = jnp.concatenate(
+            [pieceA.reshape(stride, LANES), piece.reshape(stride, LANES),
+             jnp.full((pad_rows, LANES), KEY_POS_INF, jnp.int32)], axis=0)
+        merged, _, ln = sort_ops.merge_pass(
+            arr, None, jnp.stack([cntA, cnt]), stride, tile_rows,
+            b_asc=True, interpret=interp)
+        acc = jax.lax.dynamic_update_slice(
+            acc, merged[: 2 * stride], (g * 2 * stride, 0))
+        lens2.append(ln[0])
+    return acc, jnp.stack(lens2) if npairs else jnp.zeros(0, jnp.int32)
+
+
 def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
                           mesh: Optional[Mesh] = None, slack: float = 2.0,
                           block_rows: int = 256, tile_rows: int = 128,
                           fanin: int = 16,
-                          use_pallas: Optional[bool] = None):
+                          use_pallas: Optional[bool] = None,
+                          overlap: bool = False):
     """Distributed m-pass equi-join match count over a 1-D chip mesh.
 
     Returns (count, overflow) host ints; overflow triggers an auto-retry
     with doubled slack, mirroring dist_mway.
+
+    ``overlap=True`` replaces the fused all_to_all with ppermute rounds
+    whose arriving run pairs merge while the next round circulates (the
+    exchange/merge overlap of the reference's first NUMA-merge phase);
+    requires an even chip count and the Pallas pipeline.
     """
     mesh = mesh or make_mesh()
     if use_pallas is None:
@@ -142,15 +198,37 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
         # exchange of contiguous sorted slices (= phase 3.1's remote pull)
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
-        gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
-        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-        gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
-        # phase 3: log-halving pairwise merge passes
-        mr2, tr = _pairwise_merge_received(grk, grc, n_chips, cap_r,
-                                           tile_rows, use_pallas, interp)
-        ms2, ts = _pairwise_merge_received(gsk, gsc, n_chips, cap_s,
-                                           tile_rows, use_pallas, interp)
+        if overlap and use_pallas and n_chips % 2 == 0:
+            # permute rounds with merge-as-they-arrive (phase 3.1 overlap)
+            def recv_merge(bflat, counts, cap):
+                acc, lens = _overlap_receive_merge(
+                    bflat.reshape(n_chips, cap), counts, n_chips, cap,
+                    tile_rows, interp)
+                total = jnp.sum(lens)
+                nruns = n_chips // 2
+                stride_cur = 2 * (cap // LANES)
+                first = True  # level-2 inputs are all ascending
+                while nruns > 1:
+                    acc, _, lens = sort_ops.merge_pass(
+                        acc, None, lens, stride_cur, tile_rows,
+                        b_asc=first, interpret=interp)
+                    stride_cur *= 2
+                    nruns //= 2
+                    first = False
+                return acc, total
+
+            mr2, tr = recv_merge(brk, rc, cap_r)
+            ms2, ts = recv_merge(bsk, sc, cap_s)
+        else:
+            grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
+            gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
+            grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+            gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+            # phase 3: log-halving pairwise merge passes
+            mr2, tr = _pairwise_merge_received(grk, grc, n_chips, cap_r,
+                                               tile_rows, use_pallas, interp)
+            ms2, ts = _pairwise_merge_received(gsk, gsc, n_chips, cap_s,
+                                               tile_rows, use_pallas, interp)
         # phase 4: fused count over the owned key range
         stats = mergejoin.merge_join_count_fused(
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
@@ -179,5 +257,6 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
     ov = int(np.asarray(overflow).sum())
     if ov > 0 and slack < 16.0:
         return dist_mpass_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
-                                     block_rows, tile_rows, fanin, use_pallas)
+                                     block_rows, tile_rows, fanin, use_pallas,
+                                     overlap)
     return count, ov

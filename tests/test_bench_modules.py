@@ -21,3 +21,10 @@ def test_mergebench_smoke(capsys):
 def test_tputbench_numa_smoke(capsys):
     assert tputbench.main(["--mode", "numa", "-n", "8192",
                            "-S", "RANDOM", "--reps", "1"]) == 0
+
+
+def test_scalebench_smoke(capsys):
+    from avx_sort_merge_joins_tpu.bench import scalebench
+    assert scalebench.main(["20000", "--devices", "1,2", "--reps", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "efficiency" in capsys.readouterr().err or out.count("\n") >= 2

@@ -270,3 +270,29 @@ def test_workload_a_sharded_generation_unique():
     assert sorted(keys.tolist()) == list(range(1, n + 1))
     s = np.asarray(sk).reshape(-1)
     assert s.min() >= 1 and s.max() <= n
+
+
+def test_dist_mpass_overlap_exact(rng):
+    """Exchange/merge overlap: ppermute rounds with merge-as-they-arrive
+    must count exactly like the all_to_all path
+    (mpass_firstnumamerge_phase's pull-while-merge, SURVEY §5)."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 50_000, 70_000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov = dist_mpass.dist_mpass_join_count(rk, sk, nR, nS,
+                                               use_pallas=True, overlap=True)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_dist_mpass_overlap_ragged(rng):
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+
+    nR, nS = 10007, 14013
+    rk = rng.integers(1, 3000, nR).astype(np.int32)
+    sk = rng.integers(1, 3000, nS).astype(np.int32)
+    cnt, ov = dist_mpass.dist_mpass_join_count(
+        rk, sk, nR, nS, use_pallas=True, overlap=True, slack=3.0)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
