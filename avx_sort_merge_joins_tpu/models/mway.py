@@ -32,8 +32,11 @@ from ..ops import sort as sort_ops
 from . import common
 
 FANIN_DEFAULT = 16
-# sweep-measured best on v5e (keys-only, 16M): 64K-tuple blocks/tiles
-BLOCK_ROWS_MWAY = 256
+# sweep-measured best on v5e at 128M (keys-only): 64K-tuple block sort
+# pays ~13% more substages than 32K blocks but removes one whole tree
+# level (12 -> 11 node traversals); 128K blocks give it back.  Merge
+# tiles stay 32K (the (512,128)-row networks spill vregs).
+BLOCK_ROWS_MWAY = 512
 TILE_ROWS_MWAY = 256
 COUNT_TILE_ROWS = 128  # the count kernel's packed segscan wants T <= 16384
 

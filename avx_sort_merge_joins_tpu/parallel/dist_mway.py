@@ -38,7 +38,7 @@ from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
 from ..types import NumaStrategy
 from .exchange import valid_counts as exchange_valid_counts
-from .mesh import AXIS, make_mesh, shuffle_order
+from .mesh import AXIS, chips_per_host_of, make_mesh, shuffle_order
 
 
 def _mesh_platform(mesh):
@@ -192,7 +192,10 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     n_chips = int(np.prod(list(mesh.shape.values())))
     schedule = None
     if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
-        schedule = shuffle_order(numa_strategy, n_chips).tolist()
+        # RING strides by the mesh's real host granularity (the reference
+        # derives threads-per-region from libnuma, numa_shuffle.c:80)
+        schedule = shuffle_order(numa_strategy, n_chips,
+                                 chips_per_host_of(mesh)).tolist()
     elif numa_strategy == NumaStrategy.NEXT:
         schedule = list(range(n_chips))
     shard_r = -(-n_r // n_chips)

@@ -27,10 +27,21 @@ AXIS = "chips"
 DEFAULT_MESH: Optional[Mesh] = None
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+# Host (NUMA-region) granularity of the flat device list — the "threads
+# per region" structure the reference derives from libnuma
+# (cpu_mapping.c:281-316) and feeds into the RING shuffle.  Module state
+# like the reference's global cpu-mapping tables (Mesh objects are
+# interned/immutable, so per-mesh tagging is impossible).
+HOST_GRANULARITY: Optional[int] = None
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None,
+              chips_per_host: Optional[int] = None) -> Mesh:
     """1-D mesh over the first ``n_devices`` available devices — the analog
     of cpu_mapping_init's identity thread map (cpu_mapping.c:178-193).
-    A mapping-file mesh installed in DEFAULT_MESH overrides device order."""
+    A mapping-file mesh installed in DEFAULT_MESH overrides device order;
+    ``chips_per_host`` installs the topology's host granularity."""
+    global HOST_GRANULARITY
     if devices is None:
         if DEFAULT_MESH is not None:
             devices = list(np.asarray(DEFAULT_MESH.devices).flat)
@@ -38,18 +49,36 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
             devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
+    if chips_per_host is not None:
+        HOST_GRANULARITY = chips_per_host
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def chips_per_host_of(mesh: Mesh) -> int:
+    """Host granularity for shuffle scheduling: the installed topology
+    (mapping file / make_mesh kw) or, failing that, the per-host device
+    count from the platform's process mapping."""
+    if HOST_GRANULARITY is not None:
+        return HOST_GRANULARITY
+    devices = list(np.asarray(mesh.devices).flat)
+    procs = [getattr(d, "process_index", 0) for d in devices]
+    return max(1, procs.count(procs[0])) if procs else 1
 
 
 def mesh_from_mapping_file(path: str) -> Mesh:
     """Build a mesh from a device-mapping file — the analog of the
     reference's optional ``cpu-mapping.txt`` custom topology (format
-    ``NDEV id0 id1 ... idN``, cpu_mapping.h:24-25, cpu_mapping.c:46-80):
+    ``NDEV id0 id1 ... idN [#HOSTS]``, cpu_mapping.h:24-25,
+    cpu_mapping.c:46-80; the optional trailing count mirrors the
+    reference's ``#numa`` annotation and installs the host granularity):
     logical position i runs on physical device ids[i]."""
+    global HOST_GRANULARITY
     with open(path) as f:
         tokens = f.read().split()
     n = int(tokens[0])
     ids = [int(t) for t in tokens[1:1 + n]]
+    if len(tokens) > 1 + n:
+        HOST_GRANULARITY = max(1, n // max(1, int(tokens[1 + n])))
     devices = jax.devices()
     return Mesh(np.asarray([devices[i] for i in ids]), (AXIS,))
 

@@ -51,6 +51,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the big unrolled Mosaic sort kernels
+    # cold-compile in minutes; cache them next to the repo so repeated
+    # bench runs (and the driver's) start in seconds
+    try:
+        cache_dir = os.environ.get(
+            "SMJ_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        print(f"[bench] compilation cache unavailable: {e}", file=sys.stderr)
+
     from avx_sort_merge_joins_tpu.models import mway
     from avx_sort_merge_joins_tpu.ops import mergejoin
 

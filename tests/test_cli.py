@@ -94,3 +94,21 @@ def test_cli_dist_materialize_persist(tmp_path, capsys):
                                   ek[np.lexsort((ep, ek))])
     np.testing.assert_array_equal(gp[np.lexsort((gp, gk))],
                                   ep[np.lexsort((ep, ek))])
+
+
+@pytest.mark.parametrize("z", [0.75, 1.0])
+def test_mpsm_zipf_skew(z):
+    """BASELINE config 4: mpsm under Zipf z=0.75/1.0 foreign keys."""
+    from avx_sort_merge_joins_tpu.datagen import (create_relation_pk,
+                                                  create_relation_zipf,
+                                                  seed_generator)
+
+    nR, nS = 20_000, 30_000
+    seed_generator(42)
+    R = create_relation_pk(nR)
+    seed_generator(43)
+    S = create_relation_zipf(nS, nR, z)
+    res = sortmergejoin_mpsm(R, S, nchunks=4)
+    rk, _ = R.to_numpy()
+    sk, _ = S.to_numpy()
+    assert res.totalresults == merge_join_count_numpy(rk, sk)

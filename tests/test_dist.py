@@ -296,3 +296,30 @@ def test_dist_mpass_overlap_ragged(rng):
         rk, sk, nR, nS, use_pallas=True, overlap=True, slack=3.0)
     assert ov == 0
     assert cnt == merge_join_count_numpy(rk, sk)
+
+
+def test_mesh_topology_ring():
+    """Host-granularity plumbing: the mapping file's trailing host count
+    (the cpu-mapping.txt #numa annotation analog) reaches the RING
+    schedule's stride."""
+    import tempfile
+
+    from avx_sort_merge_joins_tpu.parallel.mesh import (
+        chips_per_host_of, make_mesh, mesh_from_mapping_file)
+
+    from avx_sort_merge_joins_tpu.parallel import mesh as mesh_mod
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("8 0 1 2 3 4 5 6 7 2\n")  # 8 devices over 2 hosts
+        path = f.name
+    old_gran = mesh_mod.HOST_GRANULARITY
+    try:
+        mesh = mesh_from_mapping_file(path)
+        assert chips_per_host_of(mesh) == 4
+        order = shuffle_order(NumaStrategy.RING, 8, chips_per_host_of(mesh))
+        assert sorted(order.tolist()) == list(range(8))
+        assert order[0] % 4 == 0  # first hop leaves the local host group
+    finally:
+        mesh_mod.HOST_GRANULARITY = old_gran
+    # untagged mesh infers from the platform's process mapping
+    assert chips_per_host_of(make_mesh(4)) >= 1
