@@ -23,7 +23,6 @@ import numpy as np
 from ..ops.mergejoin import merge_join_count_numpy
 from ..parallel import dist_mway
 from ..parallel.mesh import make_mesh
-from . import common
 
 
 def main(argv=None) -> int:

@@ -12,7 +12,7 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
-from ..types import JoinConfig, JoinResult, Relation
+from ..types import JoinResult
 
 
 def _sync(x):

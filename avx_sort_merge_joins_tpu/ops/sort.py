@@ -28,7 +28,7 @@ merge16_varlen passes, avxsort.c:86-200):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

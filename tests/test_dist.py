@@ -323,3 +323,22 @@ def test_mesh_topology_ring():
         mesh_mod.HOST_GRANULARITY = old_gran
     # untagged mesh infers from the platform's process mapping
     assert chips_per_host_of(make_mesh(4)) >= 1
+
+
+@pytest.mark.parametrize("ndev", [3, 6])
+def test_dist_nonpow2_mesh(rng, ndev):
+    """Non-power-of-two chip counts: run-count padding with zero-length
+    runs must keep every dist algorithm exact (the reference requires
+    pow2 threads for m-way, sortmergejoin_multiway.c:53-57 — we don't)."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass, dist_mpsm
+
+    nR, nS = 12000, 18000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    exp = merge_join_count_numpy(rk, sk)
+    mesh = make_mesh(ndev)
+    for fn in (dist_mway.dist_mway_join_count,
+               dist_mpass.dist_mpass_join_count,
+               dist_mpsm.dist_mpsm_join_count):
+        cnt, ov = fn(rk, sk, nR, nS, mesh, use_pallas=False)
+        assert ov == 0 and cnt == exp, fn.__name__
