@@ -193,13 +193,16 @@ def run_join(args, R, S):
                   file=sys.stderr)
         mesh = make_mesh(args.nthreads)
         t0 = time.perf_counter()
+        phases = None
         if args.materialize:
             if args.algo != "m-way":
                 print("[WARN ] --materialize with -n>1 uses the "
                       "distributed m-way pipeline", file=sys.stderr)
             return _run_dist_materialize(args, R, S, mesh)
         if args.algo == "m-way":
-            cnt, overflow = dist_mway.dist_mway_join_count(
+            # phased variant: per-phase dispatches so the record row gets
+            # real SORT/MERGE1/MJOIN columns (joincommon.c:175-196)
+            cnt, overflow, phases = dist_mway.dist_mway_join_phased(
                 R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
                 fanin=args.partfanout, use_pallas=use_pallas,
                 numa_strategy=args.numastrategy
@@ -225,7 +228,7 @@ def run_join(args, R, S):
             sys.exit(1)
         from .types import JoinResult
         return JoinResult(totalresults=cnt, resultlist=[],
-                          phases={"total": dt},
+                          phases=phases or {"total": dt},
                           throughput=(R.num_tuples + S.num_tuples) / dt)
 
     if args.algo == "m-way":

@@ -131,6 +131,30 @@ def _merge_received(rk_flat, counts, n_chips: int, cap: int,
     return k2, total
 
 
+def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int):
+    """Skew-aware equi-depth splitters: each chip contributes local
+    quantiles of its sorted runs; the pooled, sorted samples yield
+    balanced bounds even under Zipf skew — the TPU answer to the
+    reference's uniform radix-bit assumption (heavy single keys still
+    land whole on one chip; the slack factor + overflow check guard)."""
+    nq = 16  # quantiles per relation per chip
+    rflat = r2.reshape(-1)
+    sflat = s2.reshape(-1)
+    qs = []
+    for j in range(nq):
+        pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
+        pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
+        qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
+        qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
+    samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+    samples = jax.lax.sort((samples,), num_keys=1)[0]
+    ns = samples.shape[0]
+    bounds = [jnp.int32(-(2**31) + 1)]
+    for d in range(1, n_chips):
+        bounds.append(samples[(ns * d) // n_chips])
+    return bounds
+
+
 def _exchange(bflat, n_chips: int, cap: int, schedule):
     """Deliver bucket d of every chip to chip d.
 
@@ -235,26 +259,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                               use_pallas)
         s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
                               use_pallas)
-        # skew-aware equi-depth splitters: each chip contributes local
-        # quantiles of its sorted runs; the pooled, sorted samples yield
-        # balanced bounds even under Zipf skew — the TPU answer to the
-        # reference's uniform radix-bit assumption (heavy single keys still
-        # land whole on one chip; the slack factor + overflow check guard)
-        nq = 16  # quantiles per relation per chip
-        rflat = r2.reshape(-1)
-        sflat = s2.reshape(-1)
-        qs = []
-        for j in range(nq):
-            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
-            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
-            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
-            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
-        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
-        samples = jax.lax.sort((samples,), num_keys=1)[0]
-        ns = samples.shape[0]
-        bounds = [jnp.int32(-(2**31) + 1)]
-        for d in range(1, n_chips):
-            bounds.append(samples[(ns * d) // n_chips])
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips)
         # exchange of contiguous sorted slices
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
@@ -299,3 +304,128 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                   block_rows, tile_rows, fanin, use_pallas, numa_strategy,
                   pre_sharded)
     return count, ov
+
+
+def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
+                          mesh: Optional[Mesh] = None, slack: float = 2.0,
+                          block_rows: int = 256, tile_rows: int = 128,
+                          fanin: int = 16,
+                          use_pallas: Optional[bool] = None,
+                          numa_strategy: Optional[str] = None):
+    """Distributed m-way count with PER-PHASE timing: three separately
+    dispatched shard_map programs (local sort | exchange + k-way merge |
+    fused count) with a device sync between each, so multi-chip runs
+    report the reference's SORT / MERGE1 / MJOIN record columns
+    (joincommon.c:175-196) instead of one opaque total.
+
+    Returns ``(count, overflow, phases)`` where phases maps
+    sort/merge1/mergejoin/total to seconds.  The fused single-dispatch
+    path (:func:`dist_mway_join_count`) stays the throughput surface —
+    the phase syncs cost two extra dispatch round-trips.
+    """
+    import time as _time
+
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    interp = _mesh_platform(mesh) != "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    schedule = None
+    if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
+        schedule = shuffle_order(numa_strategy, n_chips,
+                                 chips_per_host_of(mesh)).tolist()
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+
+    def cap_of(shard):
+        want = int(shard / n_chips * slack)
+        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+
+    cap_r, cap_s = cap_of(shard_r), cap_of(shard_s)
+    nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
+    nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
+    sharded = NamedSharding(mesh, P(AXIS))
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk_dev = jax.device_put(
+        pad_to(rkeys[:n_r], shard_r * n_chips).reshape(n_chips, shard_r),
+        sharded)
+    sk_dev = jax.device_put(
+        pad_to(skeys[:n_s], shard_s * n_chips).reshape(n_chips, shard_s),
+        sharded)
+    nvr_dev = jax.device_put(jnp.asarray(nv_r), sharded)
+    nvs_dev = jax.device_put(jnp.asarray(nv_s), sharded)
+
+    def sort_fn(rk, sk):
+        rk, sk = rk[0], sk[0]
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        return r2[None], s2[None]
+
+    def exmerge_fn(r2, s2, nvr, nvs):
+        r2, s2 = r2[0], s2[0]
+        nvr, nvs = nvr[0], nvs[0]
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips)
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
+        grk = _exchange(brk, n_chips, cap_r, schedule)
+        gsk = _exchange(bsk, n_chips, cap_s, schedule)
+        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+        gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+        mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
+                                  fanin, use_pallas)
+        ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
+                                  fanin, use_pallas)
+        return (mr2[None], ms2[None], tr.reshape(1), ts.reshape(1),
+                (ovr + ovs).reshape(1))
+
+    def count_fn(mr2, ms2, tr, ts):
+        stats = mergejoin.merge_join_count_fused(
+            mr2[0], ms2[0], tr[0], ts[0], tile_rows, interpret=interp)
+        return stats.reshape(1, 3)
+
+    def smap(f, n_in, n_out):
+        return jax.jit(shard_map(
+            f, mesh=mesh, in_specs=(P(AXIS),) * n_in,
+            out_specs=tuple([P(AXIS)] * n_out) if n_out > 1 else P(AXIS),
+            check_vma=False))
+
+    def sync(x):
+        for leaf in jax.tree_util.tree_leaves(x):
+            float(jnp.sum(leaf.reshape(-1)[:1]))
+
+    phases = {}
+    with sort_ops.force_interpret(interp):
+        t0 = _time.perf_counter()
+        r2, s2 = smap(sort_fn, 2, 2)(rk_dev, sk_dev)
+        sync((r2, s2))
+        phases["sort"] = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
+        mr2, ms2, tr, ts, ov = smap(exmerge_fn, 4, 5)(r2, s2, nvr_dev,
+                                                      nvs_dev)
+        sync((mr2, ms2))
+        phases["merge1"] = _time.perf_counter() - t1
+        t2 = _time.perf_counter()
+        stats = smap(count_fn, 4, 1)(mr2, ms2, tr, ts)
+        sync(stats)
+        phases["mergejoin"] = _time.perf_counter() - t2
+    phases["total"] = phases["sort"] + phases["merge1"] + phases["mergejoin"]
+    stats = np.asarray(stats, dtype=np.int64)
+    if int(stats[:, 2].sum()):
+        raise mergejoin.CountLimbOverflow(
+            "per-segment cntR*cntS >= 2^29 on some chip of the "
+            "distributed m-way count")
+    count = int(((stats[:, 0] << 30) + stats[:, 1]).sum())
+    ov = int(np.asarray(ov).sum())
+    if ov > 0 and slack < 16.0:
+        return dist_mway_join_phased(rkeys, skeys, n_r, n_s, mesh, slack * 2,
+                                     block_rows, tile_rows, fanin,
+                                     use_pallas, numa_strategy)
+    return count, ov, phases

@@ -342,3 +342,16 @@ def test_dist_nonpow2_mesh(rng, ndev):
                dist_mpsm.dist_mpsm_join_count):
         cnt, ov = fn(rk, sk, nR, nS, mesh, use_pallas=False)
         assert ov == 0 and cnt == exp, fn.__name__
+
+
+def test_dist_mway_phased(rng):
+    """Phase-split distributed m-way: same exact count, real per-phase
+    timings for the record row (joincommon.c:175-196 columns)."""
+    nR, nS = 20000, 30000
+    rk, sk = _workload(rng, nR, nS)
+    cnt, ov, phases = dist_mway.dist_mway_join_phased(rk, sk, nR, nS,
+                                                      use_pallas=False)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+    assert set(phases) == {"sort", "merge1", "mergejoin", "total"}
+    assert all(v >= 0 for v in phases.values())
