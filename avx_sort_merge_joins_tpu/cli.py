@@ -152,7 +152,8 @@ def _run_scale_tier(args) -> int:
     t0 = time.perf_counter()
     cnt, overflow = scale.workload_a_join_count(
         args.r_size, args.s_size, mesh, seed=args.r_seed,
-        fanin=args.partfanout)
+        fanin=args.partfanout, skew=args.skew,
+        slack=4.0 if args.skew > 0 else 2.0)
     dt = time.perf_counter() - t0
     if overflow:
         print(f"[ERROR] exchange bucket overflow ({overflow})",
@@ -310,7 +311,7 @@ def main(argv=None) -> int:
     import os as _os
     scale_min = int(_os.environ.get("SMJ_SHARDED_GEN_MIN", 500_000_000))
     if (args.nthreads > 1 and max(args.r_size, args.s_size) >= scale_min
-            and not (args.non_unique or args.full_range or args.skew > 0
+            and not (args.non_unique or args.full_range
                      or args.materialize or args.key8b)
             and args.r_size % args.nthreads == 0
             and args.s_size % args.nthreads == 0):

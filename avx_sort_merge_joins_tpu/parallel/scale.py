@@ -39,8 +39,45 @@ from jax import shard_map
 from .mesh import AXIS, make_mesh
 
 
-def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42):
-    """Per-chip on-device generation of the default pk-fk workload.
+ZIPF_QUANTILE_BINS = 1 << 20
+
+
+def _zipf_quantile_lut(n: int, z: float, bins: int = ZIPF_QUANTILE_BINS
+                       ) -> np.ndarray:
+    """Host-side quantile table of the Zipf(z) CDF over alphabet 1..n.
+
+    Entry q holds the smallest key whose cumulative probability reaches
+    (q+1)/bins.  Built by streaming the harmonic partial sums in chunks —
+    O(n) flops, O(bins) memory — so it scales to 1.6B alphabets where the
+    reference's full per-key LUT (genzipf.c:60-92) could not exist on a
+    chip.  Heavy keys span many bins and are therefore sampled with their
+    exact mass; tail keys share bins (sub-bin mass is approximated by the
+    bin boundary key), which preserves the Zipf shape for skew studies.
+    """
+    lut = np.empty(bins, np.int64)
+    total = 0.0
+    # two passes: normalization constant, then boundaries
+    chunk = 1 << 24
+    for lo in range(1, n + 1, chunk):
+        hi = min(n + 1, lo + chunk)
+        total += np.sum(1.0 / np.arange(lo, hi, dtype=np.float64) ** z)
+    acc = 0.0
+    q = 0
+    for lo in range(1, n + 1, chunk):
+        hi = min(n + 1, lo + chunk)
+        cs = acc + np.cumsum(1.0 / np.arange(lo, hi, dtype=np.float64) ** z)
+        acc = cs[-1]
+        while q < bins and (q + 1) / bins * total <= cs[-1]:
+            lut[q] = lo + np.searchsorted(cs, (q + 1) / bins * total)
+            q += 1
+    lut[q:] = n
+    return np.minimum(lut, n)
+
+
+def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42,
+                            skew: float = 0.0):
+    """Per-chip on-device generation of the pk-fk workload (uniform fk, or
+    Zipf(z=skew) fk — BASELINE's 1.6B uniform + skewed configs).
 
     Returns ``(rk, sk)`` as (n_chips, shard) device arrays sharded over
     ``mesh`` — suitable for ``dist_mway_join_count(..., pre_sharded=True)``.
@@ -50,31 +87,44 @@ def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42):
         "scale tier requires sizes divisible by the chip count")
     shard_r = n_r // n_chips
     shard_s = n_s // n_chips
+    lut = None
+    if skew > 0:
+        lut = jnp.asarray(_zipf_quantile_lut(n_r, skew), jnp.int32)
 
-    def gen_chip():
+    def gen_chip(*args):
         me = jax.lax.axis_index(AXIS)
         j = jnp.arange(shard_r, dtype=jnp.int32)
         rk = me.astype(jnp.int32) + 1 + jnp.int32(n_chips) * j
         key = jax.random.fold_in(jax.random.PRNGKey(seed), me)
-        sk = jax.random.randint(key, (shard_s,), 1, n_r + 1, dtype=jnp.int32)
+        if skew > 0:
+            (lut_rep,) = args
+            u = jax.random.randint(key, (shard_s,), 0, ZIPF_QUANTILE_BINS,
+                                   dtype=jnp.int32)
+            sk = lut_rep[u]
+        else:
+            sk = jax.random.randint(key, (shard_s,), 1, n_r + 1,
+                                    dtype=jnp.int32)
         return rk.reshape(1, -1), sk.reshape(1, -1)
 
-    fn = jax.jit(shard_map(gen_chip, mesh=mesh, in_specs=(),
+    in_specs = () if lut is None else (P(),)
+    fn = jax.jit(shard_map(gen_chip, mesh=mesh, in_specs=in_specs,
                            out_specs=(P(AXIS), P(AXIS))))
-    return fn()
+    return fn() if lut is None else fn(lut)
 
 
 def workload_a_join_count(n_r: int, n_s: int,
                           mesh: Optional[Mesh] = None, seed: int = 42,
                           use_pallas: Optional[bool] = None,
-                          fanin: int = 16):
+                          fanin: int = 16, skew: float = 0.0,
+                          slack: float = 2.0):
     """End-to-end workload-A m-way count join: sharded on-device datagen →
     distributed m-way.  Returns (count, overflow); count must equal |S|
-    (every uniform fk matches exactly one of the unique keys 1..|R|)."""
+    (every fk — uniform or Zipf — matches exactly one of the unique keys
+    1..|R|)."""
     from . import dist_mway
 
     mesh = mesh or make_mesh()
-    rk, sk = make_workload_a_sharded(n_r, n_s, mesh, seed)
+    rk, sk = make_workload_a_sharded(n_r, n_s, mesh, seed, skew)
     return dist_mway.dist_mway_join_count(
         rk, sk, n_r, n_s, mesh, fanin=fanin, use_pallas=use_pallas,
-        pre_sharded=True)
+        pre_sharded=True, slack=slack)

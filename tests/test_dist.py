@@ -355,3 +355,21 @@ def test_dist_mway_phased(rng):
     assert cnt == merge_join_count_numpy(rk, sk)
     assert set(phases) == {"sort", "merge1", "mergejoin", "total"}
     assert all(v >= 0 for v in phases.values())
+
+
+def test_workload_a_skewed():
+    """BASELINE config 5's skewed variant: Zipf-shaped fk sampled on
+    device through the streamed quantile LUT; count stays exactly |S|
+    (every fk matches one unique R key) and the skew is real."""
+    from avx_sort_merge_joins_tpu.parallel import scale
+
+    nR = nS = 1 << 20
+    cnt, ov = scale.workload_a_join_count(nR, nS, use_pallas=False,
+                                          skew=1.0, slack=4.0)
+    assert ov == 0
+    assert cnt == nS
+    # the sampled S really is skewed: key 1 carries ~1/H(n) of the mass
+    mesh_ = make_mesh()
+    _, sk = scale.make_workload_a_sharded(nR, nS, mesh_, skew=1.0)
+    top = (np.asarray(sk).reshape(-1) == 1).mean()
+    assert top > 0.01  # uniform would be ~1e-6
