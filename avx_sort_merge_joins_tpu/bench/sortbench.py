@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("variant", nargs="?", default="multiway",
                    choices=["pairwise", "multiway", "keysonly", "xla"])
     p.add_argument("--fanin", type=int, default=16)
+    # sweep-measured optimum for the k-way composition (PLAN round-2);
+    # the pairwise composition keeps its own (128,128) optimum
+    p.add_argument("--block-rows", type=int, default=512)
+    p.add_argument("--tile-rows", type=int, default=256)
     p.add_argument("--negative", action="store_true",
                    help="signed key distribution (fork's debug_pos_neg_sort)")
     p.add_argument("--reps", type=int, default=3)
@@ -46,11 +50,13 @@ def main(argv=None) -> int:
         fn = jax.jit(lambda a, b: so.sort(a, b, n))
         arrs = (kd, pd)
     elif args.variant == "multiway":
-        fn = jax.jit(lambda a, b: mw.multiway_sort(a, b, n, fanin=args.fanin))
+        fn = jax.jit(lambda a, b: mw.multiway_sort(
+            a, b, n, args.block_rows, args.tile_rows, fanin=args.fanin))
         arrs = (kd, pd)
     elif args.variant == "keysonly":
-        fn = jax.jit(lambda a: mw.multiway_sort(a, None, n,
-                                                fanin=args.fanin)[0])
+        fn = jax.jit(lambda a: mw.multiway_sort(
+            a, None, n, args.block_rows, args.tile_rows,
+            fanin=args.fanin)[0])
         arrs = (kd,)
     else:
         fn = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))

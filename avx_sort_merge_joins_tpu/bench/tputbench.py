@@ -30,8 +30,11 @@ def run_tput(n: int, fanin: int, reps: int) -> int:
     keys = common.gen_keys(n)
     kd = jnp.asarray(keys)
 
-    block = jax.jit(lambda a: _blocks_only(a, n))
-    full = jax.jit(lambda a: mw.multiway_sort(a, None, n, fanin=fanin,
+    from ..models import mway as mway_model
+    br, tr = mway_model.BLOCK_ROWS_MWAY, mway_model.TILE_ROWS_MWAY
+    block = jax.jit(lambda a: _blocks_only(a, n, br, tr))
+    full = jax.jit(lambda a: mw.multiway_sort(a, None, n, br, tr,
+                                              fanin=fanin,
                                               return_2d=True)[0])
     t_block = common.time_best(block, kd, reps=reps)
     t_full = common.time_best(full, kd, reps=reps)
@@ -49,16 +52,8 @@ def run_tput(n: int, fanin: int, reps: int) -> int:
     return 0
 
 
-def _blocks_only(keys, n):
-    from ..ops.bitonic import KEY_POS_INF, LANES
-    rows = so.padded_rows(n)
-    cap = rows * LANES
-    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32).at[:n].set(keys[:n])
-    k2 = kf.reshape(rows, LANES)
-    nblocks = so.cdiv(n, so.BLOCK_ROWS_DEFAULT * LANES)
-    ks, _ = so.sort_blocks(k2[:nblocks * so.BLOCK_ROWS_DEFAULT], None,
-                           so.BLOCK_ROWS_DEFAULT, alternating=False)
-    return ks
+def _blocks_only(keys, n, block_rows, tile_rows):
+    return mw.sort_blocks_phase(keys, None, n, block_rows, tile_rows)[0]
 
 
 def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
