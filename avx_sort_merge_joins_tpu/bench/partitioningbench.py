@@ -39,15 +39,23 @@ def main(argv=None) -> int:
     kd, pd = jnp.asarray(keys), jnp.asarray(pays)
     k2 = jnp.asarray(keys.reshape(-1, 128))
 
-    def report(name, secs):
+    def report(name, secs, note=""):
         print(f"[partbench] {name:10s} n={n} bits={nbits} "
-              f"{secs*1e6:.0f} usecs {n/secs/1e6:.1f} Mtuples/s",
+              f"{secs*1e6:.0f} usecs {n/secs/1e6:.1f} Mtuples/s{note}",
               file=sys.stderr)
         print(f"{name} {secs*1e6:.0f} {n/secs/1e6:.2f}")
 
     if args.what in ("hist", "all"):
-        fn = jax.jit(lambda x: pt.radix_hist_any(x, nbits))
-        report("hist", common.time_best(fn, k2, reps=args.reps))
+        if nbits <= 7:
+            # the roll-based Pallas kernel (unrolls fanout x 128 lane
+            # rotations — compile cliff past 2^7; hist-mxu covers above)
+            fn = jax.jit(lambda x: pt.radix_hist(x, nbits).sum(0))
+            report("hist", common.time_best(fn, k2, reps=args.reps),
+                   note=" (roll kernel)")
+        else:
+            print(f"[partbench] hist (roll kernel) skipped at bits={nbits} "
+                  "> 7 (unrolled-rotation compile cliff); see hist-mxu",
+                  file=sys.stderr)
     if args.what in ("hist-mxu", "all"):
         fn = jax.jit(lambda x: pt.radix_hist_mxu(x, nbits))
         report("hist-mxu", common.time_best(fn, k2, reps=args.reps))
@@ -56,7 +64,11 @@ def main(argv=None) -> int:
         report("hist-xla", common.time_best(fn, kd, reps=args.reps))
     if args.what in ("partition", "all"):
         fn = jax.jit(lambda x, y: pt.partition_relation(x, y, nbits))
-        report("partition", common.time_best(fn, kd, pd, reps=args.reps))
+        # honesty: the grouped layout runs through an XLA .at[].set scatter
+        # (~128 Melem/s measured at 128M) — it is scatter-bound, far below
+        # the histogram rooflines, and the row says so (no silent caps)
+        report("partition", common.time_best(fn, kd, pd, reps=args.reps),
+               note=" (XLA-scatter-bound; not a kernel roofline)")
     if args.what in ("copy", "all"):
         fn = jax.jit(lambda x: x + 1)
         report("copy", common.time_best(fn, kd, reps=args.reps))

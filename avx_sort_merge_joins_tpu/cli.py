@@ -152,6 +152,7 @@ def _run_scale_tier(args) -> int:
     t0 = time.perf_counter()
     cnt, overflow = scale.workload_a_join_count(
         args.r_size, args.s_size, mesh, seed=args.r_seed,
+        s_seed=args.s_seed,
         fanin=args.partfanout, skew=args.skew,
         slack=4.0 if args.skew > 0 else 2.0)
     dt = time.perf_counter() - t0
@@ -310,11 +311,24 @@ def main(argv=None) -> int:
     # workload-A scale tier: never materialize the relations on the host
     import os as _os
     scale_min = int(_os.environ.get("SMJ_SHARDED_GEN_MIN", 500_000_000))
-    if (args.nthreads > 1 and max(args.r_size, args.s_size) >= scale_min
-            and not (args.non_unique or args.full_range
-                     or args.materialize or args.key8b)
-            and args.r_size % args.nthreads == 0
-            and args.s_size % args.nthreads == 0):
+    scale_eligible = (
+        args.nthreads > 1 and max(args.r_size, args.s_size) >= scale_min
+        and not (args.non_unique or args.full_range
+                 or args.materialize or args.key8b)
+        and args.r_size % args.nthreads == 0
+        and args.s_size % args.nthreads == 0)
+    if scale_eligible and (args.algo != "m-way" or args.scalarsort
+                           or args.scalarmerge
+                           or args.numastrategy != "NEXT"):
+        # the scale tier implements the m-way pipeline with the default
+        # exchange schedule only — never silently report its numbers for
+        # a different requested algorithm/variant (flag honesty)
+        print(f"[WARN ] scale tier (>= {scale_min} tuples) supports "
+              "-a m-way with default sort/merge/schedule only; running "
+              f"the standard {args.algo} path (host-side datagen — may "
+              "exhaust host memory at this size)", file=sys.stderr)
+        scale_eligible = False
+    if scale_eligible:
         try:
             return _run_scale_tier(args)
         finally:

@@ -56,6 +56,9 @@ def onehot_hist(pid, fanout: int):
         lo = c & jnp.int32(w - 1)
         ol = _one_hot(lo, w)
         if h == 1:
+            # pads (value == fanout) wrap to lo == 0 when w == fanout; mask
+            # them out so they are not miscounted into bucket 0
+            ol = ol * (c < fanout)[:, None].astype(jnp.bfloat16)
             return jnp.sum(ol.astype(jnp.float32), axis=0).reshape(1, w)
         hi = c >> 7
         oh = _one_hot(hi, h)

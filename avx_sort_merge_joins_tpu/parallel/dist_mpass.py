@@ -151,6 +151,19 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
         use_pallas = _mesh_platform(mesh) == "tpu"
     interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
+    # overlap needs the Pallas merge kernel and a power-of-two chip count
+    # (after the receive-merge level there are n_chips/2 runs; every later
+    # halving level needs an even run count — non-pow2 even meshes would
+    # hit merge_pass's even-shape assertion at trace time).  Never fall
+    # back silently: the caller is timing a specific algorithm.
+    overlap_ok = (overlap and use_pallas and n_chips > 1
+                  and (n_chips & (n_chips - 1)) == 0)
+    if overlap and not overlap_ok:
+        import sys
+        print("[WARN ] dist m-pass overlap=True requires the Pallas "
+              "pipeline and a power-of-two chip count "
+              f"(use_pallas={use_pallas}, n_chips={n_chips}); running the "
+              "non-overlapped all_to_all path", file=sys.stderr)
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
@@ -198,7 +211,7 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
         # exchange of contiguous sorted slices (= phase 3.1's remote pull)
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        if overlap and use_pallas and n_chips % 2 == 0:
+        if overlap_ok:
             # permute rounds with merge-as-they-arrive (phase 3.1 overlap)
             def recv_merge(bflat, counts, cap):
                 acc, lens = _overlap_receive_merge(

@@ -75,7 +75,8 @@ def _zipf_quantile_lut(n: int, z: float, bins: int = ZIPF_QUANTILE_BINS
 
 
 def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42,
-                            skew: float = 0.0):
+                            skew: float = 0.0,
+                            s_seed: Optional[int] = None):
     """Per-chip on-device generation of the pk-fk workload (uniform fk, or
     Zipf(z=skew) fk — BASELINE's 1.6B uniform + skewed configs).
 
@@ -87,6 +88,11 @@ def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42,
         "scale tier requires sizes divisible by the chip count")
     shard_r = n_r // n_chips
     shard_s = n_s // n_chips
+    # R is the deterministic strided key set (no randomness); the only
+    # random stream is S's fk draw, so it follows the S seed (-y) when
+    # given — mirroring the reference's separate -x/-y seeding
+    if s_seed is None:
+        s_seed = seed
     lut = None
     if skew > 0:
         lut = jnp.asarray(_zipf_quantile_lut(n_r, skew), jnp.int32)
@@ -95,7 +101,7 @@ def make_workload_a_sharded(n_r: int, n_s: int, mesh: Mesh, seed: int = 42,
         me = jax.lax.axis_index(AXIS)
         j = jnp.arange(shard_r, dtype=jnp.int32)
         rk = me.astype(jnp.int32) + 1 + jnp.int32(n_chips) * j
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), me)
+        key = jax.random.fold_in(jax.random.PRNGKey(s_seed), me)
         if skew > 0:
             (lut_rep,) = args
             u = jax.random.randint(key, (shard_s,), 0, ZIPF_QUANTILE_BINS,
@@ -116,7 +122,8 @@ def workload_a_join_count(n_r: int, n_s: int,
                           mesh: Optional[Mesh] = None, seed: int = 42,
                           use_pallas: Optional[bool] = None,
                           fanin: int = 16, skew: float = 0.0,
-                          slack: float = 2.0):
+                          slack: float = 2.0,
+                          s_seed: Optional[int] = None):
     """End-to-end workload-A m-way count join: sharded on-device datagen →
     distributed m-way.  Returns (count, overflow); count must equal |S|
     (every fk — uniform or Zipf — matches exactly one of the unique keys
@@ -124,7 +131,8 @@ def workload_a_join_count(n_r: int, n_s: int,
     from . import dist_mway
 
     mesh = mesh or make_mesh()
-    rk, sk = make_workload_a_sharded(n_r, n_s, mesh, seed, skew)
+    rk, sk = make_workload_a_sharded(n_r, n_s, mesh, seed, skew,
+                                     s_seed=s_seed)
     return dist_mway.dist_mway_join_count(
         rk, sk, n_r, n_s, mesh, fanin=fanin, use_pallas=use_pallas,
         pre_sharded=True, slack=slack)

@@ -23,10 +23,16 @@ run_one() {  # algo chips rep extra-flags...
   local algo=$1 n=$2 rep=$3; shift 3
   local tag=$*
   echo "# $algo chips=$n rep=$rep ${tag:-pallas}" >> "$LOG"
+  # capture stderr synchronously to a temp file, then append sequentially:
+  # concurrent process substitutions interleave $LOG lines and bash's
+  # `wait` does not cover them, which could drop the final [RECORD] row
+  local errtmp
+  errtmp=$(mktemp)
   python -m avx_sort_merge_joins_tpu -a "$algo" -n "$n" \
-    -r "$NR" -s "$NS" "$@" > >(cat >> "$LOG") \
-    2> >(tee -a "$LOG" | grep -E '^\[RECORD\]' \
-         | sed "s/\$/ ${tag:-pallas}/" >> "$OUT")
+    -r "$NR" -s "$NS" "$@" >> "$LOG" 2> "$errtmp"
+  cat "$errtmp" >> "$LOG"
+  grep -E '^\[RECORD\]' "$errtmp" | sed "s/\$/ ${tag:-pallas}/" >> "$OUT"
+  rm -f "$errtmp"
 }
 
 for algo in $ALGOS; do
@@ -37,4 +43,3 @@ for algo in $ALGOS; do
     done
   done
 done
-wait

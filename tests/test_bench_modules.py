@@ -26,5 +26,5 @@ def test_tputbench_numa_smoke(capsys):
 def test_scalebench_smoke(capsys):
     from avx_sort_merge_joins_tpu.bench import scalebench
     assert scalebench.main(["20000", "--devices", "1,2", "--reps", "1"]) == 0
-    out = capsys.readouterr().out
-    assert "efficiency" in capsys.readouterr().err or out.count("\n") >= 2
+    cap = capsys.readouterr()  # single snapshot: a second call is empty
+    assert "efficiency" in cap.err or cap.out.count("\n") >= 2

@@ -27,6 +27,37 @@ def test_cli_join_results(capsys, algo):
     assert "Results = 30000" in out
 
 
+def test_cli_record_and_roofline_rows(capsys):
+    """Every run must emit the reference scripts' record row
+    (tput-scalability.sh:28: ALGO NTHREADS NUMR NUMS RUNNO PARTCYC SORTCYC
+    MERGE1CYC MERGERESTCYC MJOINCYC NUMTUP USECS TPUT — usecs standing in
+    for cycles) and the per-phase roofline report; the grid scripts grep
+    these rows, so their structure is pinned here."""
+    rc = main(["-a", "m-way", "-r", "20000", "-s", "20000",
+               "-x", "42", "-y", "43"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    rec = [ln for ln in err.splitlines() if ln.startswith("[RECORD]")]
+    assert len(rec) == 1
+    cols = rec[0].split()
+    # [RECORD] ALGO NTHREADS NUMR NUMS RUNNO 5xPHASE NUMTUP USECS TPUT
+    assert len(cols) == 14
+    assert cols[0] == "[RECORD]" and cols[1] == "m-way"
+    assert int(cols[2]) == 1
+    assert int(cols[3]) == 20000 and int(cols[4]) == 20000
+    nums = [float(c) for c in cols[5:]]  # every later column is numeric
+    assert int(cols[11]) == 40000       # NUMTUP
+    assert nums[-2] > 0                 # USECS
+    assert nums[-1] > 0                 # TPUT
+    roof = [ln for ln in err.splitlines() if ln.startswith("[ROOFLINE]")]
+    assert roof, "per-phase roofline report missing"
+    for ln in roof:
+        parts = ln.split()
+        # [ROOFLINE] phase GB/s GB/s (pct% of NNN GB/s)
+        assert parts[3] == "GB/s"
+        assert float(parts[2]) >= 0
+
+
 def test_cli_nonunique(capsys):
     rc = main(["-a", "m-way", "-r", "20000", "-s", "20000", "--non-unique",
                "-x", "7", "-y", "8"])

@@ -286,6 +286,23 @@ def test_dist_mpass_overlap_exact(rng):
     assert cnt == merge_join_count_numpy(rk, sk)
 
 
+def test_dist_mpass_overlap_nonpow2_falls_back_loudly(rng, capsys):
+    """overlap=True on a non-power-of-two mesh (6 chips) must warn and run
+    the all_to_all path (non-pow2 even meshes would crash the overlap
+    path's halving levels at trace time), still counting exactly."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mpass
+    from avx_sort_merge_joins_tpu.parallel.mesh import make_mesh
+
+    nR, nS = 24_000, 36_000
+    rk, sk = _workload(rng, nR, nS)
+    mesh = make_mesh(6)
+    cnt, ov = dist_mpass.dist_mpass_join_count(
+        rk, sk, nR, nS, mesh=mesh, use_pallas=True, overlap=True)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+    assert "overlap=True requires" in capsys.readouterr().err
+
+
 def test_dist_mpass_overlap_ragged(rng):
     from avx_sort_merge_joins_tpu.parallel import dist_mpass
 

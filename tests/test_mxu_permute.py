@@ -30,6 +30,17 @@ def test_onehot_hist_chunked(rng):
     np.testing.assert_array_equal(got, exp)
 
 
+def test_onehot_hist_chunked_small_fanout(rng):
+    """Regression: with fanout <= 128 the scan path's pad value (fanout)
+    wraps to lo == 0; pads must NOT be miscounted into bucket 0."""
+    n = (1 << 22) + 999  # crosses one chunk boundary -> pads exist
+    fanout = 64
+    pid = rng.integers(0, fanout, n).astype(np.int32)
+    got = np.asarray(mx.onehot_hist(jnp.asarray(pid), fanout))
+    exp = np.bincount(pid, minlength=fanout).astype(np.int32)
+    np.testing.assert_array_equal(got, exp)
+
+
 @pytest.mark.parametrize("bits", [4, 10, 14])
 def test_radix_hist_mxu_vs_xla(rng, bits):
     n = 100_000
