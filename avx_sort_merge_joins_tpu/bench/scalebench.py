@@ -22,26 +22,28 @@ import numpy as np
 
 from ..ops.mergejoin import merge_join_count_numpy
 from ..parallel import dist_mway
-from ..parallel.mesh import make_mesh
+from ..parallel.mesh import make_mesh, make_mesh2d
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scalebench")
     p.add_argument("ntuples", type=int, nargs="?", default=1 << 22)
     p.add_argument("--devices", default=None,
-                   help="comma list of device counts (default 1,2,4,..,N)")
+                   help="comma list of device counts (default 1,2,4,..,N); "
+                        "HxC entries (e.g. 2x4) run a 2-D ('host','chip') "
+                        "mesh with the hierarchical exchange")
     p.add_argument("--reps", type=int, default=2)
     p.add_argument("--algo", default="m-way", choices=["m-way", "m-pass"])
     args = p.parse_args(argv)
 
     ndev_all = len(jax.devices())
     if args.devices:
-        counts = [int(x) for x in args.devices.split(",")]
+        counts = [x.strip() for x in args.devices.split(",")]
     else:
         counts = []
         d = 1
         while d <= ndev_all:
-            counts.append(d)
+            counts.append(str(d))
             d *= 2
     n = args.ntuples
     rng = np.random.default_rng(3)
@@ -56,8 +58,17 @@ def main(argv=None) -> int:
         join = dist_mway.dist_mway_join_count
 
     tput1 = None
-    for nd in counts:
-        mesh = make_mesh(nd)
+    per_count_tput = {}
+    for spec_str in counts:
+        if "x" in spec_str:
+            # 2-D ('host','chip') mesh: hierarchical exchange, per-AXIS
+            # efficiency below
+            h, c = (int(x) for x in spec_str.split("x"))
+            mesh = make_mesh2d(h, c)
+            nd = h * c
+        else:
+            nd = int(spec_str)
+            mesh = make_mesh(nd)
         cnt, ov = join(rk, sk, n, n, mesh)  # compile + warmup + exact check
         assert ov == 0 and cnt == expected, (nd, cnt, expected)
         best = float("inf")
@@ -68,11 +79,24 @@ def main(argv=None) -> int:
         tput = 2 * n / best
         if tput1 is None:
             tput1 = tput
+        per_count_tput[spec_str] = tput
         eff = tput / (nd * tput1)
-        print(f"[scalebench] {args.algo} ndev={nd} n={n} "
+        cols = [f"efficiency={eff:.2f}"]
+        if "x" in spec_str:
+            # per-axis efficiency: vs the same total over one host
+            # (host-axis cost) and vs the chips-per-host flat point
+            # (chip-axis baseline), when those points ran earlier
+            flat_c = per_count_tput.get(str(c))
+            one_host = per_count_tput.get(f"1x{c}")
+            if flat_c:
+                cols.append(f"host_axis_eff={tput / (h * flat_c):.2f}")
+            if one_host:
+                cols.append(f"host_axis_eff_vs_1x={tput / (h * one_host):.2f}")
+        print(f"[scalebench] {args.algo} ndev={spec_str} n={n} "
               f"{best*1e6:.0f} usecs {tput/1e6:.1f} Mtuples/s "
-              f"efficiency={eff:.2f}", file=sys.stderr)
-        print(f"{args.algo} {nd} {n} {best*1e6:.0f} {tput/1e6:.2f} {eff:.3f}")
+              + " ".join(cols), file=sys.stderr)
+        print(f"{args.algo} {spec_str} {n} {best*1e6:.0f} {tput/1e6:.2f} "
+              f"{eff:.3f}")
     return 0
 
 

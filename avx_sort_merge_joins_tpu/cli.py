@@ -246,30 +246,38 @@ def run_join(args, R, S):
 
 
 def _run_key8b(args):
-    """64-bit-key join: plane-split relations through the scalar count path
-    (mirrors the reference's KEY_8B forcing scalar sort/merge)."""
-    import numpy as np
+    """KEY_8B (64-bit-key, 16-B-tuple) join: the SAME glibc-exact datagen
+    streams, widened to order-preserving int64 planes (the reference's
+    KEY_8B stores identical key values in 64-bit storage, types.h:23-29),
+    sorted by the Pallas plane-pair multiway sort (join64.sort64 — beyond
+    the reference, whose KEY_8B binary errors out unless --scalarsort
+    --scalarmerge, main.c:433-445,871-877), counted by the forced-scalar
+    analog (XLA tag-sort on the planes).
 
-    import jax.numpy as jnp
+    Golden parity surface: the --enable-key8B CC=g++ reference build's
+    m-pass runs (its KEY_8B m-way is itself broken — Results = 49152 for
+    the 100k⋈100k default and hangs on other configs; documented in
+    PARITY.md).  --scalarsort selects the XLA plane sort (the reference's
+    only working KEY_8B path)."""
+    import functools
 
-    from . import datagen
+    import jax
+
     from .ops import join64
     from .types import JoinResult
 
-    datagen.seed_generator(args.r_seed)
-    rng = np.random.default_rng(args.r_seed)
-    rk = rng.permutation(np.arange(1, args.r_size + 1,
-                                   dtype=np.int64)) << 16
-    rng2 = np.random.default_rng(args.s_seed)
-    sk = rk[rng2.integers(0, args.r_size, args.s_size)]
-    rhi, rlo = join64.split64(rk)
-    shi, slo = join64.split64(sk)
+    R, S = make_relations(args)
+    nR, nS = R.num_tuples, S.num_tuples
+    pallas_sort = not (args.scalarsort or args.scalarmerge)
+
+    fn = jax.jit(functools.partial(
+        join64.key8b_join_count, nR=nR, nS=nS, fanin=args.partfanout,
+        pallas_sort=pallas_sort))
     t0 = time.perf_counter()
-    cnt = int(join64.merge_join_count_xla64(
-        jnp.asarray(rhi), jnp.asarray(rlo), jnp.asarray(shi),
-        jnp.asarray(slo), args.r_size, args.s_size))
+    _, _, cnt = fn(R.keys, S.keys)
+    cnt = int(cnt)
     dt = time.perf_counter() - t0
-    n = args.r_size + args.s_size
+    n = nR + nS
     return JoinResult(totalresults=cnt, resultlist=[],
                       phases={"total": dt}, throughput=n / dt), n
 

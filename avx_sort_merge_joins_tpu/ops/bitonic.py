@@ -158,6 +158,57 @@ def bitonic_sort(k, p, descending):
     return k, p
 
 
+def cmpex_tagged(k, f, d, asc):
+    """Compare-exchange at flat distance d where the comparator decision is
+    made on KEYS ONLY and the tag array ``f`` follows the same swap.
+
+    For tie keys the decision is arbitrary — the merged key order is
+    unaffected (equal values), and any consistent pair swap preserves the
+    tag MULTISET within each equal-key segment, which is all the segmented
+    count reduction consumes.  This replaces the full lex (key, tag)
+    comparator chain (lex_lt_le) with one key compare per substage.
+    """
+    if d < LANES:
+        lane = _lane_iota(k.shape)
+        lo = (lane & d) == 0
+        kv = jnp.where(lo, _roll(k, LANES - d, 1), _roll(k, d, 1))
+        fv = jnp.where(lo, _roll(f, LANES - d, 1), _roll(f, d, 1))
+        role_lo = jnp.logical_not(jnp.logical_xor(lo, asc))
+        # mask algebra, not a select of i1 vectors (Mosaic can't truncate
+        # i8→i1 selects); ties keep own (k, f) on BOTH sides of the pair so
+        # the tag movement stays a permutation
+        keep = (role_lo & (k <= kv)) | (jnp.logical_not(role_lo) & (k >= kv))
+        return jnp.where(keep, k, kv), jnp.where(keep, f, fv)
+    dr = d // LANES
+    r = k.shape[0]
+    shape4 = (r // (2 * dr), 2, dr, LANES)
+    k3 = k.reshape(shape4)
+    f3 = f.reshape(shape4)
+    asc0 = asc if isinstance(asc, bool) else asc.reshape(shape4)[:, 0]
+    # keep element 0 low iff (e0 <= e1) == ascending (ties keep position)
+    c0 = jnp.logical_not(jnp.logical_xor(k3[:, 0] <= k3[:, 1], asc0))
+    k_lo = jnp.where(c0, k3[:, 0], k3[:, 1])
+    k_hi = jnp.where(c0, k3[:, 1], k3[:, 0])
+    f_lo = jnp.where(c0, f3[:, 0], f3[:, 1])
+    f_hi = jnp.where(c0, f3[:, 1], f3[:, 0])
+    k = jnp.concatenate([k_lo[:, None], k_hi[:, None]], axis=1).reshape(r, LANES)
+    f = jnp.concatenate([f_lo[:, None], f_hi[:, None]], axis=1).reshape(r, LANES)
+    return k, f
+
+
+def bitonic_merge_tagged(k, f, ascending=True):
+    """Bitonic merge of a flat (R,128) bitonic key sequence with a tag
+    array riding along on key-only comparator decisions (see
+    :func:`cmpex_tagged`): keys come out sorted; tags come out permuted
+    within equal-key segments (multisets preserved)."""
+    n = k.shape[0] * LANES
+    d = n // 2
+    while d >= 1:
+        k, f = cmpex_tagged(k, f, d, ascending)
+        d //= 2
+    return k, f
+
+
 def flip_flat(x):
     """Full flat reversal of a row-major (R,128) tile: out[i] = x[N-1-i].
 

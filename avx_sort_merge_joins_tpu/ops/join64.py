@@ -45,6 +45,37 @@ def sort64(hi, lo_biased, n: int | None = None, fanin: int = 16):
     return mw.multiway_sort(hi, lo_biased, n, fanin=fanin)
 
 
+def widen32(keys):
+    """Widen device int32 keys to order-preserving (hi, lo_biased) int64
+    planes — the KEY_8B layout for the reference's workloads, whose key
+    VALUES are identical under KEY_4B/KEY_8B (types.h:23-29 only widens
+    the storage): hi = sign extension, lo_biased = unsigned-low ^ signbit.
+    All int32 ops; no jax x64 mode anywhere."""
+    hi = jax.lax.shift_right_arithmetic(keys, jnp.int32(31))
+    lo_biased = keys ^ jnp.int32(-(2**31))
+    return hi, lo_biased
+
+
+def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
+                     pallas_sort: bool = True):
+    """End-to-end KEY_8B count join on int32-valued key streams widened
+    to 64-bit planes: Pallas plane-pair multiway sort (beyond the
+    reference — its KEY_8B build ERRORS unless --scalarsort/--scalarmerge,
+    main.c:871-877) + the forced-scalar count analog (XLA tag-sort rank
+    reduction on the planes).  Returns (sorted_r_planes, sorted_s_planes,
+    count_device_scalar) so callers can phase-time sort vs count."""
+    rhi, rlo = widen32(jnp.asarray(rkeys[:nR], jnp.int32))
+    shi, slo = widen32(jnp.asarray(skeys[:nS], jnp.int32))
+    if pallas_sort:
+        rhi, rlo = sort64(rhi, rlo, nR, fanin)
+        shi, slo = sort64(shi, slo, nS, fanin)
+    else:
+        rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
+        shi, slo = jax.lax.sort((shi, slo), num_keys=2)
+    cnt = merge_join_count_xla64(rhi, rlo, shi, slo, nR, nS)
+    return (rhi, rlo), (shi, slo), cnt
+
+
 def merge_join_count_xla64(rhi, rlo, shi, slo, nR: int, nS: int):
     """Match count over 64-bit keys via the tag-sort rank reduction
     (the scalar merge-join analog for KEY_8B).  Exact for counts < 2^31.

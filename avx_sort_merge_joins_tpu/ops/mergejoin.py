@@ -155,35 +155,61 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open):
     Returns (c0, c1, f) where f marks positions with a segment boundary at
     or before them (f==0 ⇒ the position continues the carried-in segment,
     and its counts already include r_open/s_open).
+
+    The scan is hierarchical: a 7-pass Hillis–Steele segmented scan WITHIN
+    each 128-lane row, then a segmented scan over the 128 per-row summaries
+    on a (rows, 1) column (1/128th the data per pass), then a lane
+    broadcast applies each row's carried-in count — ~half the full-tile
+    passes of the flat log2(T) formulation (the per-substage-pass cost
+    model of PLAN's round-1 attribution).
     """
     from . import bitonic
 
+    rows = keys.shape[0]
     idx = bitonic.flat_index(keys.shape)
     prev = bitonic.shift_right_flat(keys, 1)
     b = (keys != prev).astype(jnp.int32)
     b = jnp.where(idx == 0, (keys != carry_key).astype(jnp.int32), b)
-    n = keys.shape[0] * LANES
+    n = rows * LANES
     # pack both counters into one lane when they fit 15 bits each — halves
     # the scan's VMEM traffic (within-tile counts are bounded by T)
     packed = n <= (1 << 14)
     if packed:
-        v = (flags == 0).astype(jnp.int32) + \
-            ((flags == 1).astype(jnp.int32) << 15)
-        vs = [v]
+        vs = [(flags == 0).astype(jnp.int32) +
+              ((flags == 1).astype(jnp.int32) << 15)]
     else:
         vs = [(flags == 0).astype(jnp.int32), (flags == 1).astype(jnp.int32)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
     f = b
     d = 1
-    while d < n:
-        # shifted-in positions carry the scan identity (f=0, v=0)
-        f_s = bitonic.shift_right_flat(f, d, fill=jnp.int32(0))
-        keep = f == 0
-        vs = [v + jnp.where(keep,
-                            bitonic.shift_right_flat(v, d, fill=jnp.int32(0)),
-                            0)
-              for v in vs]
-        f = f | f_s
+    while d < LANES:
+        valid = lane >= d
+        keep = (f == 0) & valid
+        vs = [v + jnp.where(keep, bitonic._roll(v, d, 1), 0) for v in vs]
+        f = f | jnp.where(valid, bitonic._roll(f, d, 1), 0)
         d *= 2
+    # per-row summaries: counts since the row's last boundary, boundary flag
+    w_cols = [v[:, LANES - 1:] for v in vs]   # (rows, 1)
+    g_col = f[:, LANES - 1:]
+    # exclusive over rows: shift down one row, then inclusive segmented scan
+    rowi = jax.lax.broadcasted_iota(jnp.int32, g_col.shape, 0)
+    w_cols = [jnp.where(rowi >= 1, bitonic._roll(w, 1, 0), 0)
+              for w in w_cols]
+    g_col = jnp.where(rowi >= 1, bitonic._roll(g_col, 1, 0), 0)
+    d = 1
+    while d < rows:
+        valid = rowi >= d
+        keep = (g_col == 0) & valid
+        w_cols = [w + jnp.where(keep, bitonic._roll(w, d, 0), 0)
+                  for w in w_cols]
+        g_col = g_col | jnp.where(valid, bitonic._roll(g_col, d, 0), 0)
+        d *= 2
+    # apply row carries: positions before the row's first boundary continue
+    # the previous rows' open segment
+    no_row_boundary = f == 0
+    vs = [v + jnp.where(no_row_boundary, jnp.broadcast_to(w, keys.shape), 0)
+          for v, w in zip(vs, w_cols)]
+    f = f | jnp.broadcast_to(g_col, keys.shape)
     if packed:
         v0, v1 = vs[0] & ((1 << 15) - 1), vs[0] >> 15
     else:
@@ -194,8 +220,8 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open):
     return c0, c1, f
 
 
-def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
-                  *, tile_rows: int):
+def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
+                  insem, *, tile_rows: int, prefetch: bool = True):
     """Stream-merge two sorted key columns and count equi-join matches.
 
     The vectorized replacement of the reference's scalar merge_join
@@ -204,6 +230,21 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
     arrays ever touch HBM), then add up per-segment cntR·cntS products via
     a segmented scan, carrying the open segment across tiles.  Reads each
     key exactly once and writes nothing but two scalars.
+
+    Machinery design (round-3 trim of the 92 ms @128M kernel):
+
+    * window DMAs are DOUBLE-BUFFERED one tile ahead: the cursor can
+      advance by at most T per tile, so a 2T+spare window issued at tile t
+      from the CURRENT cursor always covers tile t+1's read, whatever the
+      merge consumes — the DMA issued at t is in flight through t's whole
+      compute and waited at t+1 (the leaf-prefetch idea of PLAN round-1,
+      shaped so the conditional-DMA code stays trivial: two static
+      ping-pong buffers, two tiles per loop iteration, no pl.when).
+    * the merge network runs KEY-ONLY comparators with the source tag
+      riding along (bitonic.cmpex_tagged): per-segment tag multisets are
+      permutation-invariant, which is all the count reduction consumes.
+    * consumption advances by the tag counts of the emitted tile
+      (inc_a = #tag0), replacing the merge-path cons_a + clamps.
 
     Totals accumulate as (hi, lo) base-2^30 limbs; per-segment products
     must stay below 2^29 (every reference workload satisfies this: pk-fk
@@ -216,29 +257,35 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
 
     T = tile_rows * LANES
+    WIN = 2 * tile_rows + 8   # prefetch window rows (covers cursor+T+spare)
     nR = lens_ref[0]
     nS = lens_ref[1]
     total = nR + nS
     ntiles = (total + T - 1) // T
 
-    def load(dst, src_hbm, elem, sem):
-        row, skip = elem // LANES, elem % LANES
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(row, tile_rows + 8), :], dst, sem)
-        cp.start()
-        return cp, skip
+    def issue(dst, src_hbm, elem, sem):
+        """Start the 2-tile window DMA at the row floor of ``elem``; returns
+        the clamped base row (the in-flight window covers [base, base+WIN)
+        rows, enough for any cursor in [elem, elem+T])."""
+        row = jnp.minimum(elem // LANES, src_hbm.shape[0] - WIN)
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(row, WIN), :], dst, sem).start()
+        return row
 
-    def tile_body(t, carry):
-        ea, eb, carry_key, r_open, s_open, hi, lo, ovf = carry
+    def window(buf, elem, base_row):
+        """Aligned T-element view of ``buf`` (whose row 0 is ``base_row``)
+        starting at element ``elem``."""
+        off = elem - base_row * LANES
+        rowoff, skip = off // LANES, off % LANES
+        win = buf[pl.ds(rowoff, tile_rows + 8), :]
+        return bitonic.shift_flat(win, skip)[:tile_rows]
+
+    fidx = bitonic.flat_index((tile_rows, LANES))
+
+    def tile_compute(t, st, ak, bk):
+        ea, eb, carry_key, r_open, s_open, hi, lo, ovf = st
         avail_a = nR - ea
         avail_b = nS - eb
-        cp1, skip_a = load(wak, rk_hbm, ea, insem.at[0])
-        cp2, skip_b = load(wbk, sk_hbm, eb, insem.at[1])
-        cp1.wait()
-        cp2.wait()
-        ak = bitonic.shift_flat(wak[:], skip_a)[:tile_rows]
-        bk = bitonic.shift_flat(wbk[:], skip_b)[:tile_rows]
-        fidx = bitonic.flat_index(ak.shape)
         fa = jnp.where(fidx < avail_a, 0, 2).astype(jnp.int32)
         ak = jnp.where(fidx < avail_a, ak, KEY_POS_INF)
         bk = jnp.where(fidx < avail_b, bk, KEY_POS_INF)
@@ -246,14 +293,14 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         # flip(B)'s validity mask needs no data reversal: reversed position
         # i holds B element T-1-i, valid iff T-1-i < avail_b
         fb_r = jnp.where(fidx >= T - avail_b, 1, 2).astype(jnp.int32)
-        lt, le = bitonic.lex_lt_le(ak, fa, bk_r, fb_r)
+        le = ak <= bk_r
         hk = jnp.where(le, ak, bk_r)
         hf = jnp.where(le, fa, fb_r)
-        cons_a = jnp.sum(le.astype(jnp.int32))
-        mk, mf = bitonic.bitonic_merge(hk, hf, ascending=True)
+        mk, mf = bitonic.bitonic_merge_tagged(hk, hf, ascending=True)
 
-        inc_a = jnp.minimum(cons_a, avail_a)
-        inc_b = jnp.minimum(T - cons_a, avail_b)
+        # consumption = valid elements of each source in the emitted tile
+        inc_a = jnp.sum((mf == 0).astype(jnp.int32))
+        inc_b = jnp.sum((mf == 1).astype(jnp.int32))
         inc_out = jnp.minimum(jnp.int32(T), total - t * T)
 
         c0, c1, f = _segmented_counts(mk, mf, carry_key, r_open, s_open)
@@ -297,11 +344,96 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
         lo = lo & ((1 << 30) - 1)
         return (ea + inc_a, eb + inc_b, key_lv, r_new, s_new, hi, lo, ovf)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
-            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0))
-    ea, eb, ck, r_open, s_open, hi, lo, ovf = jax.lax.fori_loop(
-        0, ntiles, tile_body, init)
+    init8 = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
+             jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0))
+
+    if not prefetch:
+        # single-buffered variant: per-tile DMA + wait at a static window
+        # offset (no VMEM realignment of a dynamic row start) — the A/B
+        # foil for the prefetch path's DMA-overlap-vs-realignment trade
+        def load(dst, src_hbm, elem, sem):
+            row = jnp.minimum(elem // LANES,
+                              src_hbm.shape[0] - (tile_rows + 8))
+            cp = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(row, tile_rows + 8), :],
+                dst.at[pl.ds(0, tile_rows + 8), :], sem)
+            cp.start()
+            return cp, elem % LANES
+
+        def tile_body(t, st):
+            cp1, skip_a = load(wa0, rk_hbm, st[0], insem.at[0])
+            cp2, skip_b = load(wb0, sk_hbm, st[1], insem.at[1])
+            cp1.wait()
+            cp2.wait()
+            ak = bitonic.shift_flat(wa0[: tile_rows + 8], skip_a)[:tile_rows]
+            bk = bitonic.shift_flat(wb0[: tile_rows + 8], skip_b)[:tile_rows]
+            return tile_compute(t, st, ak, bk)
+
+        ea, eb, ck, r_open, s_open, hi, lo, ovf = jax.lax.fori_loop(
+            0, ntiles, tile_body, init8)
+        ovf = ovf | jnp.where(
+            r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+            >= jnp.float32(1 << 29), 1, 0)
+        lo = lo + r_open * s_open
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        out_ref[0, 0] = hi
+        out_ref[0, 1] = lo
+        out_ref[0, 2] = ovf
+        return
+
+    def guarded(t, st, ak, bk):
+        """Run tile t's compute; discard all state updates past the last
+        tile (the 2-per-iteration loop overshoots by one on odd counts —
+        the wasted tile reads clamped junk and its result is dropped)."""
+        new = tile_compute(t, st, ak, bk)
+        live = t < ntiles
+        return tuple(jnp.where(live, n, o) for n, o in zip(new, st))
+
+    # prologue: tile 0's windows into buffer set 0
+    base_a0 = issue(wa0, rk_hbm, jnp.int32(0), insem.at[0])
+    base_b0 = issue(wb0, sk_hbm, jnp.int32(0), insem.at[1])
+    init = init8 + (base_a0, base_b0)
+
+    def pair_body(it, carry):
+        st = carry[:8]
+        base_a, base_b = carry[8], carry[9]
+        t0 = 2 * it
+        # prefetch t0+1's windows into set 1 from the current cursors
+        # (the cursor advances at most T per tile, so the 2T window issued
+        # here covers whatever tile t0 consumes); in flight through tile
+        # t0's whole compute
+        base_a1 = issue(wa1, rk_hbm, st[0], insem.at[2])
+        base_b1 = issue(wb1, sk_hbm, st[1], insem.at[3])
+        # consume set 0 (issued one tile ago)
+        pltpu.make_async_copy(
+            rk_hbm.at[pl.ds(base_a, WIN), :], wa0, insem.at[0]).wait()
+        pltpu.make_async_copy(
+            sk_hbm.at[pl.ds(base_b, WIN), :], wb0, insem.at[1]).wait()
+        st = guarded(t0, st, window(wa0, st[0], base_a),
+                     window(wb0, st[1], base_b))
+        # prefetch t0+2's windows into set 0 (in flight through t0+1)
+        base_a0n = issue(wa0, rk_hbm, st[0], insem.at[0])
+        base_b0n = issue(wb0, sk_hbm, st[1], insem.at[1])
+        # consume set 1
+        pltpu.make_async_copy(
+            rk_hbm.at[pl.ds(base_a1, WIN), :], wa1, insem.at[2]).wait()
+        pltpu.make_async_copy(
+            sk_hbm.at[pl.ds(base_b1, WIN), :], wb1, insem.at[3]).wait()
+        st = guarded(t0 + 1, st, window(wa1, st[0], base_a1),
+                     window(wb1, st[1], base_b1))
+        return st + (base_a0n, base_b0n)
+
+    npairs = (ntiles + 1) // 2
+    final = jax.lax.fori_loop(0, npairs, pair_body, init)
+    ea, eb, ck, r_open, s_open, hi, lo, ovf = final[:8]
+    # drain the dangling set-0 prefetch (semaphores must be zero at kernel
+    # end); matches the prologue issue when the loop ran zero iterations
+    pltpu.make_async_copy(
+        rk_hbm.at[pl.ds(final[8], WIN), :], wa0, insem.at[0]).wait()
+    pltpu.make_async_copy(
+        sk_hbm.at[pl.ds(final[9], WIN), :], wb0, insem.at[1]).wait()
     ovf = ovf | jnp.where(
         r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
         >= jnp.float32(1 << 29), 1, 0)
@@ -315,7 +447,8 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wak, wbk, insem,
 
 def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
                            tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           prefetch: bool | None = None):
     """Exact match count of two sorted key columns in one read-only pass.
 
     ``rk2d``/``sk2d`` are (rows, 128) ascending key layouts with at least
@@ -331,16 +464,34 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
     CPU-mesh dryrun under a TPU default).
     """
     import functools as ft
+    import os
 
     if interpret is None:
         interpret = sort_ops._interpret()
+    if prefetch is None:
+        # measured on v5e at 128M⋈128M: single-buffered (static window
+        # offsets) beats the 2T-prefetch variant — the DMA waits it hides
+        # cost less than the dynamic-row-start VMEM realignment it adds
+        prefetch = os.environ.get("SMJ_COUNT_PREFETCH", "0") == "1"
 
     # nR/nS may be traced scalars (distributed path) — the kernel reads
     # them from SMEM either way
     lens_arr = jnp.stack([jnp.asarray(nR, jnp.int32),
                           jnp.asarray(nS, jnp.int32)])
+    win_rows = 2 * tile_rows + 8  # the double-buffered 2T prefetch window
+
+    def ensure_min_rows(x):
+        # the prefetch DMA needs at least one whole window of rows
+        if x.shape[0] >= win_rows:
+            return x
+        pad = jnp.full((win_rows - x.shape[0], LANES), KEY_POS_INF,
+                       jnp.int32)
+        return jnp.concatenate([x, pad], axis=0)
+
+    rk2d = ensure_min_rows(rk2d)
+    sk2d = ensure_min_rows(sk2d)
     out = pl.pallas_call(
-        ft.partial(_count_kernel, tile_rows=tile_rows),
+        ft.partial(_count_kernel, tile_rows=tile_rows, prefetch=prefetch),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
         grid=(1,),
         in_specs=[
@@ -350,9 +501,11 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.VMEM((tile_rows + 8, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((win_rows, LANES), jnp.int32),
+            pltpu.VMEM((win_rows, LANES), jnp.int32),
+            pltpu.VMEM((win_rows, LANES), jnp.int32),
+            pltpu.VMEM((win_rows, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -113,6 +113,10 @@ def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
     assert rows % block_rows == 0
     nblocks = rows // block_rows
     spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # big blocks (>= 1024 rows = 512 KiB/column) need more scoped VMEM than
+    # the 16 MiB default for the network's live temporaries
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(16, 16 * (block_rows // 256)) * 1024 * 1024)
     if payloads2d is None:
         ok = pl.pallas_call(
             functools.partial(_block_sort_kernel_keys,
@@ -122,6 +126,7 @@ def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
             in_specs=[spec],
             out_specs=spec,
             interpret=_interpret(),
+            compiler_params=params,
         )(keys2d)
         return ok, None
     return pl.pallas_call(
@@ -135,6 +140,7 @@ def sort_blocks(keys2d, payloads2d, block_rows: int, alternating: bool = True,
         in_specs=[spec, spec],
         out_specs=(spec, spec),
         interpret=_interpret(),
+        compiler_params=params,
     )(keys2d, payloads2d)
 
 

@@ -39,7 +39,8 @@ from ..ops import mergejoin, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
 from . import exchange as ex
 from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
-from .mesh import AXIS, make_mesh
+from .mesh import (AXIS, HOST_AXIS, flat_axes, flat_spec, host_shape,
+                   is_2d, make_mesh)
 
 
 def _pairwise_merge_received(rk_flat, counts, n_chips: int, cap: int,
@@ -151,18 +152,23 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
         use_pallas = _mesh_platform(mesh) == "tpu"
     interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
-    # overlap needs the Pallas merge kernel and a power-of-two chip count
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
+    # overlap needs the Pallas merge kernel, a power-of-two chip count
     # (after the receive-merge level there are n_chips/2 runs; every later
     # halving level needs an even run count — non-pow2 even meshes would
-    # hit merge_pass's even-shape assertion at trace time).  Never fall
+    # hit merge_pass's even-shape assertion at trace time), and a flat
+    # mesh (its ppermute rounds address the flat chip axis).  Never fall
     # back silently: the caller is timing a specific algorithm.
     overlap_ok = (overlap and use_pallas and n_chips > 1
-                  and (n_chips & (n_chips - 1)) == 0)
+                  and (n_chips & (n_chips - 1)) == 0 and hier is None)
     if overlap and not overlap_ok:
         import sys
         print("[WARN ] dist m-pass overlap=True requires the Pallas "
-              "pipeline and a power-of-two chip count "
-              f"(use_pallas={use_pallas}, n_chips={n_chips}); running the "
+              "pipeline, a power-of-two chip count, and a flat mesh "
+              f"(use_pallas={use_pallas}, n_chips={n_chips}, "
+              f"mesh_axes={mesh.axis_names}); running the "
               "non-overlapped all_to_all path", file=sys.stderr)
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
@@ -202,7 +208,7 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
             pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
             qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
             qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
-        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+        samples = jax.lax.all_gather(jnp.concatenate(qs), axes).reshape(-1)
         samples = jax.lax.sort((samples,), num_keys=1)[0]
         ns = samples.shape[0]
         bounds = [jnp.int32(-(2**31) + 1)]
@@ -233,10 +239,18 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
             mr2, tr = recv_merge(brk, rc, cap_r)
             ms2, ts = recv_merge(bsk, sc, cap_s)
         else:
-            grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
-            gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
-            grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-            gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+            if hier is not None:
+                # hierarchical two-stage exchange (ICI in-host, DCN across)
+                H, C = hier
+                grk = ex.exchange_hier(brk, cap_r, H, C, HOST_AXIS, AXIS)
+                gsk = ex.exchange_hier(bsk, cap_s, H, C, HOST_AXIS, AXIS)
+                grc = ex.exchange_hier(rc, 1, H, C, HOST_AXIS, AXIS)
+                gsc = ex.exchange_hier(sc, 1, H, C, HOST_AXIS, AXIS)
+            else:
+                grk = jax.lax.all_to_all(brk, AXIS, 0, 0, tiled=True)
+                gsk = jax.lax.all_to_all(bsk, AXIS, 0, 0, tiled=True)
+                grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+                gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
             # phase 3: log-halving pairwise merge passes
             mr2, tr = _pairwise_merge_received(grk, grc, n_chips, cap_r,
                                                tile_rows, use_pallas, interp)
@@ -247,11 +261,11 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
         return stats.reshape(1, 3), (ovr + ovs).reshape(1)
 
-    sharded = NamedSharding(mesh, P(AXIS))
+    sharded = NamedSharding(mesh, spec)
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(AXIS),) * 4,
-        out_specs=(P(AXIS), P(AXIS)),
+        in_specs=(spec,) * 4,
+        out_specs=(spec, spec),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))
     with sort_ops.force_interpret(interp):

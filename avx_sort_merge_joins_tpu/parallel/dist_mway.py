@@ -37,8 +37,9 @@ from jax import shard_map
 from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
 from ..types import NumaStrategy
-from .exchange import valid_counts as exchange_valid_counts
-from .mesh import AXIS, chips_per_host_of, make_mesh, shuffle_order
+from .exchange import exchange_hier, valid_counts as exchange_valid_counts
+from .mesh import (AXIS, HOST_AXIS, chips_per_host_of, flat_axes, flat_spec,
+                   host_shape, is_2d, make_mesh, shuffle_order)
 
 
 def _mesh_platform(mesh):
@@ -131,12 +132,14 @@ def _merge_received(rk_flat, counts, n_chips: int, cap: int,
     return k2, total
 
 
-def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int):
+def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int, axes=AXIS):
     """Skew-aware equi-depth splitters: each chip contributes local
     quantiles of its sorted runs; the pooled, sorted samples yield
     balanced bounds even under Zipf skew — the TPU answer to the
     reference's uniform radix-bit assumption (heavy single keys still
-    land whole on one chip; the slack factor + overflow check guard)."""
+    land whole on one chip; the slack factor + overflow check guard).
+    ``axes`` is the flat collective spec (axis name, or the
+    ('host','chip') tuple on hierarchical meshes)."""
     nq = 16  # quantiles per relation per chip
     rflat = r2.reshape(-1)
     sflat = s2.reshape(-1)
@@ -146,7 +149,7 @@ def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int):
         pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
         qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
         qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
-    samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
+    samples = jax.lax.all_gather(jnp.concatenate(qs), axes).reshape(-1)
     samples = jax.lax.sort((samples,), num_keys=1)[0]
     ns = samples.shape[0]
     bounds = [jnp.int32(-(2**31) + 1)]
@@ -155,7 +158,7 @@ def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int):
     return bounds
 
 
-def _exchange(bflat, n_chips: int, cap: int, schedule):
+def _exchange(bflat, n_chips: int, cap: int, schedule, hier=None):
     """Deliver bucket d of every chip to chip d.
 
     ``schedule=None`` uses one fused all_to_all; otherwise it is a host
@@ -164,7 +167,16 @@ def _exchange(bflat, n_chips: int, cap: int, schedule):
     collective_permute rounds, which XLA's scheduler can overlap with
     surrounding compute (the ICI analog of the reference overlapping
     remote reads with merging).
+
+    ``hier=(n_hosts, chips_per_host)`` routes through the two-stage
+    hierarchical exchange of a 2-D ('host','chip') mesh — all_to_all over
+    ICI within the host, then the DCN host tier (with ``schedule``
+    applied at the host tier as permute rounds).
     """
+    if hier is not None:
+        H, C = hier
+        return exchange_hier(bflat, cap, H, C, HOST_AXIS, AXIS,
+                             host_schedule=schedule)
     if schedule is None:
         return jax.lax.all_to_all(bflat, AXIS, 0, 0, tiled=True)
     b2 = bflat.reshape(n_chips, cap)
@@ -190,32 +202,127 @@ def _exchange(bflat, n_chips: int, cap: int, schedule):
     return out.reshape(-1)
 
 
+def _overlap_receive_groups(b2, counts, n_chips: int, cap: int,
+                            tile_rows: int, fanin: int, ngroups: int):
+    """ppermute-round run delivery with GROUP k-way merges as they fill.
+
+    Round t delivers the bucket run from chip (me - t).  Runs are grouped
+    by ARRIVAL order into ``ngroups`` groups of n_chips/ngroups runs; the
+    moment a group's last run lands, its fanin-g multiway merge fires —
+    its inputs do not depend on later rounds, so XLA's async-collective
+    scheduler is free to run the merge while the next rounds' permutes
+    are in flight.  This is the m-way realization of the reference's
+    merge-remote-while-reading phase (sortmergejoin_multiway.c:494-518
+    gathers runs in shuffle order and merges THROUGH the read): the ICI
+    exchange hides behind the early groups' merges, at the cost of one
+    extra k-way pass (groups → final) over the data.
+
+    Returns (group_runs_2d, group_lens): ngroups ascending runs of stride
+    n_chips//ngroups * cap laid out consecutively, ready for the final
+    k-way merge.
+    """
+    me = jax.lax.axis_index(AXIS)
+    stride = cap // LANES
+    pad_rows = tile_rows + 8
+    per_group = n_chips // ngroups
+    acc = jnp.full((n_chips * stride + pad_rows, LANES), KEY_POS_INF,
+                   jnp.int32)
+    glens = []
+    pieces, cnts = [], []
+    for t in range(n_chips):
+        if t == 0:
+            piece = jnp.take(b2, me % n_chips, axis=0)
+            cnt = jnp.take(counts, me % n_chips)
+        else:
+            perm = [(x, (x + t) % n_chips) for x in range(n_chips)]
+            dest = (me + t) % n_chips
+            piece = jax.lax.ppermute(jnp.take(b2, dest, axis=0), AXIS, perm)
+            cnt = jax.lax.ppermute(jnp.take(counts, dest), AXIS, perm)
+        pieces.append(piece)
+        cnts.append(cnt)
+        if len(pieces) == per_group:
+            # group complete: k-way merge it on a private region so later
+            # rounds carry no dependency on the merge
+            g = t // per_group
+            garr = jnp.concatenate(
+                [p.reshape(stride, LANES) for p in pieces] +
+                [jnp.full((pad_rows, LANES), KEY_POS_INF, jnp.int32)],
+                axis=0)
+            lens = jnp.stack(cnts)
+            st = stride
+            nruns = per_group
+            while nruns > 1:
+                w = min(max(2, fanin), nruns)
+                garr, _, lens = mw.multiway_merge(garr, None, lens, st, w,
+                                                  tile_rows)
+                st *= w
+                nruns = -(-nruns // w)
+            acc = jax.lax.dynamic_update_slice(
+                acc, garr[: per_group * stride],
+                (g * per_group * stride, 0))
+            glens.append(lens[0])
+            pieces, cnts = [], []
+    return acc, jnp.stack(glens)
+
+
 def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                          mesh: Optional[Mesh] = None, slack: float = 2.0,
                          block_rows: int = 256, tile_rows: int = 128,
                          fanin: int = 16,
                          use_pallas: Optional[bool] = None,
                          numa_strategy: Optional[str] = None,
-                         pre_sharded: bool = False):
-    """Distributed m-way equi-join match count over a 1-D chip mesh.
+                         pre_sharded: bool = False,
+                         overlap: bool = False):
+    """Distributed m-way equi-join match count over a chip mesh.
 
     Returns (count, overflow) host ints; overflow must be 0 (raise slack).
     ``use_pallas=None`` auto-selects: Pallas kernels on TPU, XLA baseline
     elsewhere (the CPU-mesh dryrun path).
 
+    A 2-D ('host','chip') mesh (mesh.make_mesh2d) switches the exchange to
+    the hierarchical two-stage form: all_to_all over ICI within each host,
+    then the DCN host tier (with the NEXT/RING/RANDOM schedule applied to
+    hosts) — the multi-host skeleton of BASELINE's ≥2-host scaling target.
+
     ``pre_sharded``: rkeys/skeys are already (n_chips, shard) device
     arrays laid out with this mesh's sharding (the workload-A scale tier,
     parallel.scale — 1.6B-tuple relations never exist on the host or on
     any single chip); sizes must then divide evenly by n_chips.
+
+    ``overlap=True`` replaces the fused all_to_all with ppermute rounds
+    whose arriving runs k-way-merge in groups while later rounds are in
+    flight (the reference's merge-through-remote-reads,
+    sortmergejoin_multiway.c:494-518), at the cost of one extra k-way
+    pass (groups → final).  Requires a flat mesh, the Pallas pipeline,
+    and an even chip count >= 4; falls back LOUDLY otherwise.
     """
+    import sys
+
     mesh = mesh or make_mesh()
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
     # pallas kernels interpret off-TPU regardless of pipeline choice
     interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    overlap_ok = (overlap and use_pallas and hier is None
+                  and n_chips >= 4 and n_chips % 2 == 0)
+    if overlap and not overlap_ok:
+        print("[WARN ] dist m-way overlap=True requires the Pallas "
+              "pipeline, a flat mesh, and an even chip count >= 4 "
+              f"(use_pallas={use_pallas}, n_chips={n_chips}, "
+              f"mesh_axes={mesh.axis_names}); running the bulk "
+              "all_to_all path", file=sys.stderr)
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
     schedule = None
-    if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
+    if hier is not None:
+        # hierarchical mesh: the shuffle knob schedules the DCN host tier
+        # (within-host ICI runs as one fused all_to_all); RING at region
+        # granularity degenerates to NEXT there, RANDOM stays meaningful
+        if numa_strategy is not None:
+            schedule = shuffle_order(numa_strategy, hier[0], 1).tolist()
+    elif numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
         # RING strides by the mesh's real host granularity (the reference
         # derives threads-per-region from libnuma, numa_shuffle.c:80)
         schedule = shuffle_order(numa_strategy, n_chips,
@@ -235,7 +342,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
 
     nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
-    sharded = NamedSharding(mesh, P(AXIS))
+    sharded = NamedSharding(mesh, spec)
     if pre_sharded:
         assert rkeys.shape == (n_chips, shard_r), rkeys.shape
         assert skeys.shape == (n_chips, shard_s), skeys.shape
@@ -259,19 +366,36 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                               use_pallas)
         s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
                               use_pallas)
-        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
         # exchange of contiguous sorted slices
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        grk = _exchange(brk, n_chips, cap_r, schedule)
-        gsk = _exchange(bsk, n_chips, cap_s, schedule)
-        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-        gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
-        # phase 3: k-way merge of received runs
-        mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
-                                  fanin, use_pallas)
-        ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
-                                  fanin, use_pallas)
+        if overlap_ok:
+            # ppermute rounds + group k-way merges as runs arrive
+            def recv(bflat, counts, cap):
+                acc, glens = _overlap_receive_groups(
+                    bflat.reshape(n_chips, cap), counts, n_chips, cap,
+                    tile_rows, fanin, ngroups=2)
+                total = jnp.sum(glens)
+                stride_g = (n_chips // 2) * (cap // LANES)
+                merged, _, _ = mw.multiway_merge(acc, None, glens, stride_g,
+                                                 2, tile_rows)
+                return merged, total
+
+            mr2, tr = recv(brk, rc, cap_r)
+            ms2, ts = recv(bsk, sc, cap_s)
+        else:
+            grk = _exchange(brk, n_chips, cap_r, schedule, hier)
+            gsk = _exchange(bsk, n_chips, cap_s, schedule, hier)
+            grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
+                jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+            gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
+                jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+            # phase 3: k-way merge of received runs
+            mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
+                                      fanin, use_pallas)
+            ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
+                                      fanin, use_pallas)
         # phase 4: fused count over the owned key range (limbs recombined
         # host-side in int64)
         stats = mergejoin.merge_join_count_fused(
@@ -280,8 +404,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
 
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(AXIS),) * 4,
-        out_specs=(P(AXIS), P(AXIS)),
+        in_specs=(spec,) * 4,
+        out_specs=(spec, spec),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))  # noqa: E501  (jax.shard_map, jax>=0.8)
     with sort_ops.force_interpret(interp):
@@ -302,7 +426,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         # (the reference's fixed RELATION_PADDING has no such safety net)
         return dist_mway_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
                   block_rows, tile_rows, fanin, use_pallas, numa_strategy,
-                  pre_sharded)
+                  pre_sharded, overlap)
     return count, ov
 
 
@@ -330,8 +454,14 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
         use_pallas = _mesh_platform(mesh) == "tpu"
     interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
     schedule = None
-    if numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
+    if hier is not None:
+        if numa_strategy is not None:
+            schedule = shuffle_order(numa_strategy, hier[0], 1).tolist()
+    elif numa_strategy is not None and numa_strategy != NumaStrategy.NEXT:
         schedule = shuffle_order(numa_strategy, n_chips,
                                  chips_per_host_of(mesh)).tolist()
     shard_r = -(-n_r // n_chips)
@@ -345,7 +475,7 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     cap_r, cap_s = cap_of(shard_r), cap_of(shard_s)
     nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
-    sharded = NamedSharding(mesh, P(AXIS))
+    sharded = NamedSharding(mesh, spec)
 
     def pad_to(x, total):
         x = jnp.asarray(x, jnp.int32)
@@ -372,13 +502,15 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     def exmerge_fn(r2, s2, nvr, nvs):
         r2, s2 = r2[0], s2[0]
         nvr, nvs = nvr[0], nvs[0]
-        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        grk = _exchange(brk, n_chips, cap_r, schedule)
-        gsk = _exchange(bsk, n_chips, cap_s, schedule)
-        grc = jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-        gsc = jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+        grk = _exchange(brk, n_chips, cap_r, schedule, hier)
+        gsk = _exchange(bsk, n_chips, cap_s, schedule, hier)
+        grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
+            jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+        gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
+            jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
         mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
                                   fanin, use_pallas)
         ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
@@ -393,8 +525,8 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
 
     def smap(f, n_in, n_out):
         return jax.jit(shard_map(
-            f, mesh=mesh, in_specs=(P(AXIS),) * n_in,
-            out_specs=tuple([P(AXIS)] * n_out) if n_out > 1 else P(AXIS),
+            f, mesh=mesh, in_specs=(spec,) * n_in,
+            out_specs=tuple([spec] * n_out) if n_out > 1 else spec,
             check_vma=False))
 
     def sync(x):

@@ -100,6 +100,54 @@ def bucketize_by(dest, keys, payloads, n_valid, n_buckets: int, cap: int,
     return bk, bp, jnp.minimum(counts, cap), overflow
 
 
+def exchange_hier(bflat, cap: int, n_hosts: int, chips_per_host: int,
+                  host_axis: str, chip_axis: str, host_schedule=None):
+    """Hierarchical two-stage all-to-all over a 2-D ('host','chip') mesh.
+
+    ``bflat`` is the (n*cap,) padded bucket layout with bucket d destined
+    to flat device d = h*C + c (same layout the 1-D exchange consumes).
+    Stage 1 exchanges destination-chip groups WITHIN each host over the
+    ICI 'chip' axis, so each device aggregates every co-hosted chip's
+    traffic for its own chip index; stage 2 then moves whole host-groups
+    across the DCN 'host' tier — fewer, C×-bigger cross-host messages,
+    the TPU analog of the reference's region-strided RING schedule
+    (numa_shuffle.c:80) aggregating cross-NUMA reads.
+
+    ``host_schedule`` (offsets from mesh.shuffle_order over n_hosts)
+    realizes stage 2 as collective_permute rounds instead of one fused
+    all_to_all — the DCN-tier NEXT/RING/RANDOM shuffle knob.
+
+    Returns the (n*cap,) received layout: run from source device s at
+    slots [s*cap, s*cap + ...), bit-identical to the flat exchange's.
+    """
+    H, C = n_hosts, chips_per_host
+    x = bflat.reshape(H, C, cap)            # [h_dest, c_dest, :]
+    # stage 1 (ICI): deliver destination-chip groups within the host
+    x = jnp.swapaxes(x, 0, 1)               # [c_dest, h_dest, :]
+    x = jax.lax.all_to_all(x, chip_axis, 0, 0, tiled=True)
+    # now [c_src, h_dest, :]: co-hosted chip c_src's bucket for (h_dest, me_c)
+    x = jnp.swapaxes(x, 0, 1)               # [h_dest, c_src, :]
+    # stage 2 (DCN): deliver host groups
+    if host_schedule is None:
+        x = jax.lax.all_to_all(x, host_axis, 0, 0, tiled=True)
+    else:
+        me_h = jax.lax.axis_index(host_axis)
+        out = jnp.zeros_like(x)
+        for off in host_schedule:
+            off = int(off)
+            dest = (me_h + off) % H
+            piece = jnp.take(x, dest, axis=0)
+            if off != 0:
+                perm = [(h, (h + off) % H) for h in range(H)]
+                piece = jax.lax.ppermute(piece, host_axis, perm)
+            src = (me_h - off) % H
+            out = jax.lax.dynamic_update_slice(
+                out, piece[None], (src, jnp.int32(0), jnp.int32(0)))
+        x = out
+    # now [h_src, c_src, :] = the flat source-major received layout
+    return x.reshape(-1)
+
+
 def exchange(bkeys, bpayloads, counts, axis_name: str, n_buckets: int, cap: int):
     """All-to-all the padded buckets: bucket d of chip s lands on chip d.
 

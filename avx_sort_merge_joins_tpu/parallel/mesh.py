@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..types import NumaStrategy
 
 AXIS = "chips"
+HOST_AXIS = "host"
 
 # Set by the CLI's --mapping-file (the cpu-mapping.txt analog): when not
 # None, make_mesh() draws devices from this mesh's custom order instead of
@@ -54,10 +55,58 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def make_mesh2d(n_hosts: int, chips_per_host: int, devices=None) -> Mesh:
+    """2-D ('host', 'chip') mesh — the hierarchical topology the reference
+    derives from libnuma (regions × threads-per-region,
+    cpu_mapping.c:281-316).  Collectives over the 'chip' axis ride ICI
+    within a host; collectives over 'host' cross the DCN tier.  The flat
+    device rank of (h, c) is h*chips_per_host + c, matching the 1-D mesh's
+    order so shard layouts are interchangeable."""
+    if devices is None:
+        if DEFAULT_MESH is not None:
+            devices = list(np.asarray(DEFAULT_MESH.devices).flat)
+        else:
+            devices = jax.devices()
+    n = n_hosts * chips_per_host
+    assert len(devices) >= n, (
+        f"mesh2d wants {n} devices, {len(devices)} available")
+    arr = np.asarray(devices[:n]).reshape(n_hosts, chips_per_host)
+    return Mesh(arr, (HOST_AXIS, AXIS))
+
+
+def is_2d(mesh: Mesh) -> bool:
+    return len(mesh.axis_names) == 2
+
+
+def flat_axes(mesh: Mesh):
+    """The collective axis spec addressing ALL devices of the mesh as one
+    flat rank space: the axis-name tuple for 2-D meshes, the single axis
+    name for 1-D."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
+
+
+def flat_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding a leading axis over every mesh axis in order
+    (flat rank h*C + c on 2-D meshes)."""
+    return P(tuple(mesh.axis_names))
+
+
+def host_shape(mesh: Mesh):
+    """(n_hosts, chips_per_host) of the mesh: the real axes of a 2-D mesh,
+    or (1, n) for a flat mesh."""
+    if is_2d(mesh):
+        return (mesh.shape[HOST_AXIS], mesh.shape[AXIS])
+    return (1, int(np.prod(list(mesh.shape.values()))))
+
+
 def chips_per_host_of(mesh: Mesh) -> int:
-    """Host granularity for shuffle scheduling: the installed topology
-    (mapping file / make_mesh kw) or, failing that, the per-host device
-    count from the platform's process mapping."""
+    """Host granularity for shuffle scheduling: a 2-D mesh's own chip
+    axis, else the installed topology (mapping file / make_mesh kw) or,
+    failing that, the per-host device count from the platform's process
+    mapping."""
+    if is_2d(mesh):
+        return mesh.shape[AXIS]
     if HOST_GRANULARITY is not None:
         return HOST_GRANULARITY
     devices = list(np.asarray(mesh.devices).flat)

@@ -30,6 +30,40 @@ def test_sort64(rng):
     np.testing.assert_array_equal(got, np.sort(k))
 
 
+def test_widen32_order_and_roundtrip(rng):
+    """widen32 must agree with the host split64 of the int64-widened
+    values (the KEY_8B storage widening, types.h:23-29)."""
+    k32 = rng.integers(-(2**31) + 2, 2**31 - 2, 30000).astype(np.int32)
+    hi, lo = join64.widen32(jnp.asarray(k32))
+    ehi, elo = join64.split64(k32.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(hi), ehi)
+    np.testing.assert_array_equal(np.asarray(lo), elo)
+
+
+def test_key8b_join_count_end_to_end(rng):
+    """The full KEY_8B pipeline (widen -> Pallas plane sort -> scalar
+    count analog) against the numpy oracle, nonunique keys."""
+    nR, nS = 30000, 45000
+    rk = rng.integers(1, 8000, nR).astype(np.int32)
+    sk = rng.integers(1, 8000, nS).astype(np.int32)
+    (rhi, rlo), _, cnt = join64.key8b_join_count(
+        jnp.asarray(rk), jnp.asarray(sk), nR, nS)
+    assert int(cnt) == join64.merge_join_count_numpy64(
+        rk.astype(np.int64), sk.astype(np.int64))
+    # the sorted planes really are the Pallas sort's output
+    got = join64.join64(np.asarray(rhi), np.asarray(rlo))
+    np.testing.assert_array_equal(got, np.sort(rk.astype(np.int64)))
+
+
+def test_key8b_scalar_sort_path(rng):
+    nR, nS = 10000, 15000
+    rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
+    sk = rng.integers(1, nR + 1, nS).astype(np.int32)
+    _, _, cnt = join64.key8b_join_count(
+        jnp.asarray(rk), jnp.asarray(sk), nR, nS, pallas_sort=False)
+    assert int(cnt) == nS
+
+
 def test_count64_vs_oracle(rng):
     nR, nS = 20000, 30000
     rk = rng.integers(0, 2**40, nR).astype(np.int64)

@@ -60,3 +60,32 @@ def test_mpass_reference_golden_asymmetric():
     argv = ["-a", "m-pass", "-r", "200000", "-s", "100000", "--non-unique",
             "-x", "3", "-y", "4"]
     assert _run(argv) == 99665
+
+
+# KEY_8B golden parity: the reference built with
+#   ./configure --enable-key8B CC=g++    (plain CC: the fork's C++-reference
+#   helpers in avxcommon.h:195-222 break the C build under KEY_8B)
+# and run with --scalarsort --scalarmerge (main.c:433-445 errors otherwise).
+# Only the m-pass algorithm is a valid parity surface: the reference's
+# KEY_8B m-way returns WRONG counts (Results = 49152 for the 100k⋈100k
+# default pk-fk workload, where the count must be |S| = 100000) and hangs
+# on other configs — documented in PARITY.md.  Key VALUES are identical
+# under KEY_4B/KEY_8B (types.h:23-29 widens storage, not the generators),
+# so these pin the widened plane pipeline against the 16-B-tuple binary.
+KEY8B_GOLDEN = [
+    (["--key8b", "-a", "m-pass", "-r", "50000", "-s", "80000",
+      "-x", "12345", "-y", "54321"], 80000),
+    (["--key8b", "-a", "m-pass", "-r", "60000", "-s", "90000",
+      "--non-unique", "-x", "5", "-y", "6"], 89965),
+    (["--key8b", "-a", "m-pass", "-r", "50000", "-s", "75000",
+      "--full-range", "-x", "9", "-y", "10"], 75000),
+    (["--key8b", "-a", "m-pass", "-r", "40000", "-s", "40000",
+      "-x", "2", "-y", "3"], 40000),
+]
+
+
+@pytest.mark.parametrize("argv,expected", KEY8B_GOLDEN,
+                         ids=["key8b-default", "key8b-nonunique",
+                              "key8b-fullrange", "key8b-square"])
+def test_key8b_reference_golden(argv, expected):
+    assert _run(argv) == expected
