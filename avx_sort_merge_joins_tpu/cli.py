@@ -108,21 +108,36 @@ def make_relations(args):
 
 
 def _run_dist_materialize(args, R, S, mesh):
-    """Materializing distributed join: payload-carrying exchange +
-    per-chip <S-key, S-RID> output with physical dup-R expansion
-    (joincommon.c:266-289 semantics on the mesh)."""
+    """Materializing distributed join through the engine pipeline (Pallas
+    pair sort → equi-depth splitters → k-way merge → per-chip
+    materialization, joincommon.c:266-289 semantics on the mesh).  Under
+    --persist the output STREAMS per-chip chunks straight into Out.tbl
+    (csrc/tblio append) — host memory stays bounded by one chip's chunk."""
+    import os
+
     from .parallel import dist_materialize
     from .types import JoinResult, Relation, ThreadResult
 
+    stream_to = None
+    if args.persist:
+        os.makedirs(args.persist, exist_ok=True)
+        stream_to = os.path.join(args.persist, "Out.tbl")
     t0 = time.perf_counter()
     ks, ps, cnt, overflow = dist_materialize.dist_join_materialize(
         R.keys, R.payloads, S.keys, S.payloads,
-        R.num_tuples, S.num_tuples, mesh)
+        R.num_tuples, S.num_tuples, mesh, stream_to=stream_to)
     dt = time.perf_counter() - t0
     if overflow:
         print(f"[ERROR] exchange/output overflow ({overflow} tuples); "
               "raise slack", file=sys.stderr)
         sys.exit(1)
+    if stream_to is not None:
+        print(f"[INFO ] streamed {cnt} output tuples to {stream_to}",
+              file=sys.stderr)
+        return JoinResult(
+            totalresults=cnt, resultlist=[],
+            phases={"total": dt},
+            throughput=(R.num_tuples + S.num_tuples) / dt)
     rel = Relation.from_numpy(ks, ps, sorted=False)
     return JoinResult(
         totalresults=cnt,

@@ -8,6 +8,7 @@ from .generator import (  # noqa: F401
     create_relation_pk,
     create_relation_zipf,
     parallel_create_relation,
+    append_rows,
     read_relation,
     seed_generator,
     write_relation,

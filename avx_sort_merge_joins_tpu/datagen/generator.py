@@ -236,6 +236,26 @@ def write_relation(rel: Relation, path: str) -> None:
             f.write(f"{k} {p}\n")
 
 
+def append_rows(path: str, keys: np.ndarray, payloads: np.ndarray) -> None:
+    """Append "key payload" rows to a .tbl file — the streaming-persist
+    primitive used by the distributed materialize path: each per-chip
+    output chunk flushes sequentially, so the full join output never
+    exists in host memory at once (the reference's write_relation emits
+    its whole buffer, generator.c:200-213; ours streams)."""
+    try:
+        from . import native
+
+        if native.tblio_available():
+            native.tbl_append(path, keys, payloads)
+            return
+    except Exception:
+        pass
+    with open(path, "a") as f:
+        for k, p in zip(np.asarray(keys).tolist(),
+                        np.asarray(payloads).tolist()):
+            f.write(f"{k} {p}\n")
+
+
 def read_relation(path: str, capacity: Optional[int] = None) -> Relation:
     """Load a .tbl file back into a Relation (offline-comparison path for
     persisted runs, README:146-148)."""

@@ -71,6 +71,9 @@ def _load_tblio():
         lib.tbl_write.argtypes = [ctypes.c_char_p, i32p, i32p,
                                   ctypes.c_int64, ctypes.c_int]
         lib.tbl_write.restype = ctypes.c_int
+        lib.tbl_append.argtypes = [ctypes.c_char_p, i32p, i32p,
+                                   ctypes.c_int64, ctypes.c_int]
+        lib.tbl_append.restype = ctypes.c_int
         lib.tbl_read.argtypes = [ctypes.c_char_p, i32p, i32p, ctypes.c_int64]
         lib.tbl_read.restype = ctypes.c_int64
         _tblio_lib = lib
@@ -89,6 +92,20 @@ def tbl_write(path: str, keys: np.ndarray, payloads: np.ndarray,
     rc = lib.tbl_write(path.encode(), keys, payloads, keys.shape[0], nthreads)
     if rc != 0:
         raise IOError(f"tbl_write({path}) failed with {rc}")
+
+
+def tbl_append(path: str, keys: np.ndarray, payloads: np.ndarray,
+               nthreads: int = 8) -> None:
+    """Append rows to an existing (or new) .tbl — the streaming-persist
+    primitive: distributed materialize flushes one bounded per-chip chunk
+    at a time instead of assembling the join output on the host."""
+    lib = _load_tblio()
+    keys = np.ascontiguousarray(keys, np.int32)
+    payloads = np.ascontiguousarray(payloads, np.int32)
+    rc = lib.tbl_append(path.encode(), keys, payloads, keys.shape[0],
+                        nthreads)
+    if rc != 0:
+        raise IOError(f"tbl_append({path}) failed with {rc}")
 
 
 def tbl_read(path: str, cap: int):

@@ -469,10 +469,11 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
     if interpret is None:
         interpret = sort_ops._interpret()
     if prefetch is None:
-        # measured on v5e at 128M⋈128M: single-buffered (static window
-        # offsets) beats the 2T-prefetch variant — the DMA waits it hides
-        # cost less than the dynamic-row-start VMEM realignment it adds
-        prefetch = os.environ.get("SMJ_COUNT_PREFETCH", "0") == "1"
+        # same-session A/B on v5e at 128M⋈128M (PLAN round-3): old
+        # lex+flat-scan kernel 114.1 ms, tagged+hierarchical-scan with
+        # single-buffered windows 109.6 ms, with the 2T double-buffered
+        # prefetch 98.9 ms — prefetch on by default
+        prefetch = os.environ.get("SMJ_COUNT_PREFETCH", "1") == "1"
 
     # nR/nS may be traced scalars (distributed path) — the kernel reads
     # them from SMEM either way

@@ -1,29 +1,32 @@
-"""Distributed materializing join: payload-carrying exchange + per-chip
-<S-key, S-RID> output with physical dup-R expansion.
+"""Distributed materializing join ON THE ENGINE: Pallas payload-carrying
+sort, equi-depth splitters, k-way merge, and streaming persist.
 
-The reference's threads each materialize the matching S tuple per match
-pair into chained buffers (reference: src/joins/joincommon.c:266-289 under
-JOIN_MATERIALIZE) — with the duplicate nested loops emitting one output
-tuple per (R, S) pair.  On TPU:
+The reference's threads materialize the matching S tuple per match pair
+inside the same engine that counts (reference: src/joins/joincommon.c:266-289
+under JOIN_MATERIALIZE).  This path mirrors the distributed m-way count
+pipeline tuple-for-tuple, with payloads riding along:
 
-  partition  — range-bucketize local (key, payload) shards by destination
-               chip (the same dest_of_keys range partition as dist_join),
-  exchange   — all_to_all of padded key AND payload buckets over ICI
-               (:mod:`.exchange` carries payloads natively),
-  per chip   — sort received R keys and S tuples, compute per-S
-               multiplicities via searchsorted ranks, compact matched S
-               tuples, physically expand cntR>1 duplicates
-               (ops.materialize.expand_matches),
-  assemble   — host gathers per-chip padded outputs + counts and
-               concatenates the live prefixes.
+  phase 1+2  — per-chip Pallas ``multiway_sort(keys, payloads)`` of the
+               local (key, payload) shard (dist_mway._local_sorted_pair_2d),
+  splitters  — the SAME pooled-quantile equi-depth splitters as the count
+               path (dist_mway._equidepth_bounds), so Zipf-skewed
+               workloads balance without overflow retries,
+  exchange   — contiguous sorted-slice range exchange of key AND payload
+               buckets (all_to_all over ICI; hierarchical two-stage form
+               on 2-D ('host','chip') meshes),
+  phase 3    — per-chip k-way FIFO-tree merge of the received (key,
+               payload) runs (dist_mway._merge_received_pair),
+  phase 4    — per-chip <S-key, S-payload> materialization with physical
+               dup-R expansion (ops.materialize),
+  persist    — optional STREAMING append: each chip's bounded output
+               chunk flushes through csrc/tblio.cc ``tbl_append`` before
+               the next chip's is fetched, so the full join output never
+               exists in host memory (the reference writes whole buffers,
+               generator.c:200-213; at 128M-row outputs over the ~12 MB/s
+               axon host link a host-assembled copy is unusable).
 
-Chips own disjoint key ranges, so the concatenation is the exact multiset
-of reference output tuples (the reference's own chained per-thread buffers
-fix no global order either).
-
-Pad hygiene: R pads (+2^31-1) and S pads (-2^31) can never match, so the
-per-chip materialization runs over fully padded static shapes with no
-valid-count plumbing.
+Chips own disjoint key ranges, so per-chip outputs concatenate to the
+exact multiset of reference output tuples.
 """
 
 from __future__ import annotations
@@ -33,103 +36,171 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax import shard_map
+from jax.sharding import Mesh, NamedSharding
 
-from ..ops import materialize as mat
+from ..ops import materialize as mat, sort as sort_ops
+from ..ops.bitonic import KEY_POS_INF, LANES
 from . import exchange as ex
-from .mesh import AXIS, make_mesh
+from .dist_mway import (_equidepth_bounds, _local_sorted_2d,
+                        _local_sorted_pair_2d, _merge_received,
+                        _merge_received_pair, _mesh_platform,
+                        _slice_buckets, _slice_buckets_pair)
+from .mesh import (AXIS, HOST_AXIS, flat_axes, flat_spec, host_shape,
+                   is_2d, make_mesh)
+
+# retries taken by the most recent dist_join_materialize call (0 = the
+# equi-depth splitters balanced the workload on the first attempt — the
+# observable for the no-overflow-retry acceptance test)
+LAST_RETRIES = 0
 
 
 def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
                           n_r: int, n_s: int,
                           mesh: Optional[Mesh] = None, slack: float = 2.0,
-                          out_slack: float = 2.0):
-    """Materialized distributed equi-join over a 1-D chip mesh.
+                          out_slack: float = 2.0,
+                          block_rows: int = 256, tile_rows: int = 128,
+                          fanin: int = 16,
+                          use_pallas: Optional[bool] = None,
+                          stream_to: Optional[str] = None,
+                          _retries: int = 0):
+    """Materialized distributed equi-join over a chip mesh.
 
     Returns ``(out_keys, out_payloads, count, overflow)``: host numpy
     columns of all matched <S-key, S-payload> tuples (one row per match
-    pair, physical dup-R expansion), the match count (= len(out_keys)),
-    and the exchange/output overflow (0 when slack sufficed; auto-retried
-    with doubled slack otherwise).
+    pair, physical dup-R expansion), the match count, and the
+    exchange/output overflow (0 when slack sufficed; auto-retried with
+    doubled slack otherwise).
+
+    ``stream_to``: path of an Out.tbl to STREAM per-chip chunks into
+    (appended in chip order); the returned columns are then None and host
+    memory stays bounded by one chip's padded output.
     """
+    global LAST_RETRIES
     mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
-    cap_r = max(128, int(np.ceil(shard_r / n_chips * slack / 128)) * 128)
-    cap_s = max(128, int(np.ceil(shard_s / n_chips * slack / 128)) * 128)
+    tile_elems = tile_rows * LANES
+
+    def cap_of(shard):
+        want = int(shard / n_chips * slack)
+        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+
+    cap_r = cap_of(shard_r)
+    cap_s = cap_of(shard_s)
     # static per-chip output capacity: received-S capacity × expansion slack
     cap_out = max(128, int(np.ceil(n_chips * cap_s * out_slack / 128)) * 128)
 
-    def pad_to(x, total, fill):
+    def pad_to(x, total):
         x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), fill, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
         return out.at[: x.shape[0]].set(x)
 
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips, ex.R_PAD_KEY)
-    rp = pad_to(rpayloads[:n_r], shard_r * n_chips, 0)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips, ex.S_PAD_KEY)
-    sp = pad_to(spayloads[:n_s], shard_s * n_chips, 0)
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    rp = pad_to(rpayloads[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    sp = pad_to(spayloads[:n_s], shard_s * n_chips)
     nv_r = ex.valid_counts(n_r, shard_r, n_chips)
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
+    def exch(bflat, cap):
+        if hier is not None:
+            H, C = hier
+            return ex.exchange_hier(bflat, cap, H, C, HOST_AXIS, AXIS)
+        return jax.lax.all_to_all(bflat, AXIS, 0, 0, tiled=True)
+
     def shard_fn(rk, rp, sk, sp, nvr, nvs):
-        rk, rp, sk, sp = rk[0], rp[0], sk[0], sp[0]
-        nr, ns = nvr[0], nvs[0]
-        idx_r = jnp.arange(rk.shape[0], dtype=jnp.int32)
-        idx_s = jnp.arange(sk.shape[0], dtype=jnp.int32)
-        big = jnp.int32(2**31 - 1)
-        live_r = idx_r < nr
-        live_s = idx_s < ns
-        lo = jnp.minimum(jnp.min(jnp.where(live_r, rk, big)),
-                         jnp.min(jnp.where(live_s, sk, big)))
-        hi = jnp.maximum(jnp.max(jnp.where(live_r, rk, -big)),
-                         jnp.max(jnp.where(live_s, sk, -big)))
-        lo = jax.lax.pmin(lo, AXIS)
-        hi = jax.lax.pmax(hi, AXIS)
-        dest_r = ex.dest_of_keys(rk, n_chips, lo, hi)
-        dest_s = ex.dest_of_keys(sk, n_chips, lo, hi)
-        brk, brp, rc, ovr = ex.bucketize_by(dest_r, rk, rp, nr, n_chips,
-                                            cap_r, ex.R_PAD_KEY)
-        bsk, bsp, sc, ovs = ex.bucketize_by(dest_s, sk, sp, ns, n_chips,
-                                            cap_s, ex.S_PAD_KEY)
-        grk, grp, _ = ex.exchange(brk, brp, rc, AXIS, n_chips, cap_r)
-        gsk, gsp, _ = ex.exchange(bsk, bsp, sc, AXIS, n_chips, cap_s)
-        # local sort + materialize over the fully padded shapes (pads
-        # cannot match across R and S by sentinel construction)
-        rks = jax.lax.sort((grk,), num_keys=1)[0]
-        sks, sps = jax.lax.sort((gsk, gsp), num_keys=1)
-        nmax = gsk.shape[0]
+        rk, sk, sp = rk[0], sk[0], sp[0]
+        nvr, nvs = nvr[0], nvs[0]
+        # phase 1+2: per-chip Pallas sorts — R keys-only (the output is
+        # <S-key, S-payload>; R payloads never travel, halving R traffic),
+        # S as a (key, payload) pair sort
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows,
+                              fanin, use_pallas)
+        s2, sp2 = _local_sorted_pair_2d(sk, sp, sk.shape[0], block_rows,
+                                        tile_rows, fanin, use_pallas)
+        # skew-aware equi-depth splitters (same as the count path)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        bsk, bsp, sc, ovs = _slice_buckets_pair(s2, sp2, nvs, bounds,
+                                                n_chips, cap_s)
+        grk = exch(brk, cap_r)
+        gsk, gsp = exch(bsk, cap_s), exch(bsp, cap_s)
+        grc = exch(rc, 1)
+        gsc = exch(sc, 1)
+        # phase 3: k-way merge of received runs (R keys-only, S pairs)
+        mr2, tr = _merge_received(grk, grc, n_chips, cap_r,
+                                  tile_rows, fanin, use_pallas)
+        ms2, msp2, ts = _merge_received_pair(gsk, gsp, gsc, n_chips, cap_s,
+                                             tile_rows, fanin, use_pallas)
+        # sentinel repair: the k-way merge writes only ceil(total/T) output
+        # tiles, so slots past the live prefix hold leftover garbage — the
+        # R column must be +inf there (searchsorted needs a fully sorted
+        # array) and the S column must take the S pad sentinel (so junk
+        # can never match R's +inf pads)
+        rks = mr2.reshape(-1)
+        sks = ms2.reshape(-1)
+        sps = msp2.reshape(-1)
+        ridx = jnp.arange(rks.shape[0], dtype=jnp.int32)
+        rks = jnp.where(ridx < tr, rks, KEY_POS_INF)
+        sidx = jnp.arange(sks.shape[0], dtype=jnp.int32)
+        sks = jnp.where(sidx < ts, sks, ex.S_PAD_KEY)
+        # phase 4: materialize matched S tuples + physical dup-R expansion
         ok, op, om, nm = mat.materialize_matches(rks, rks.shape[0],
-                                                 sks, sps, nmax)
+                                                 sks, sps, sks.shape[0])
         ek, ep, total = mat.expand_matches(ok, op, om, nm, cap_out)
         out_ov = jnp.maximum(total - cap_out, 0)
         return (ek.reshape(1, -1), ep.reshape(1, -1),
                 total.reshape(1), (ovr + ovs + out_ov).reshape(1))
 
-    sharded = NamedSharding(mesh, P(AXIS))
+    from jax import shard_map
+
+    sharded = NamedSharding(mesh, spec)
     fn = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(AXIS),) * 6,
-        out_specs=(P(AXIS),) * 4,
+        in_specs=(spec,) * 6,
+        out_specs=(spec,) * 4,
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     ))
-    ek, ep, totals, overflow = fn(
-        jax.device_put(rk.reshape(n_chips, shard_r), sharded),
-        jax.device_put(rp.reshape(n_chips, shard_r), sharded),
-        jax.device_put(sk.reshape(n_chips, shard_s), sharded),
-        jax.device_put(sp.reshape(n_chips, shard_s), sharded),
-        jax.device_put(jnp.asarray(nv_r), sharded),
-        jax.device_put(jnp.asarray(nv_s), sharded),
-    )
+    with sort_ops.force_interpret(interp):
+        ek, ep, totals, overflow = fn(
+            jax.device_put(rk.reshape(n_chips, shard_r), sharded),
+            jax.device_put(rp.reshape(n_chips, shard_r), sharded),
+            jax.device_put(sk.reshape(n_chips, shard_s), sharded),
+            jax.device_put(sp.reshape(n_chips, shard_s), sharded),
+            jax.device_put(jnp.asarray(nv_r), sharded),
+            jax.device_put(jnp.asarray(nv_s), sharded),
+        )
     ov = int(np.asarray(overflow).sum())
     if ov > 0 and slack < 16.0:
         return dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
                                      n_r, n_s, mesh, slack * 2,
-                                     out_slack * 2)
+                                     out_slack * 2, block_rows, tile_rows,
+                                     fanin, use_pallas, stream_to,
+                                     _retries + 1)
+    LAST_RETRIES = _retries
+    totals = np.asarray(totals)
+    if stream_to is not None:
+        # streaming persist: fetch + flush ONE chip's chunk at a time —
+        # host memory stays O(cap_out), not O(total output)
+        from ..datagen import append_rows
+
+        open(stream_to, "w").close()  # truncate
+        for c in range(n_chips):
+            t = int(totals[c])
+            if t == 0:
+                continue
+            append_rows(stream_to, np.asarray(ek[c])[:t],
+                        np.asarray(ep[c])[:t])
+        return None, None, int(totals.sum()), ov
     ek = np.asarray(ek)
     ep = np.asarray(ep)
-    totals = np.asarray(totals)
     ks = np.concatenate([ek[c, : totals[c]] for c in range(n_chips)])
     ps = np.concatenate([ep[c, : totals[c]] for c in range(n_chips)])
     return ks, ps, int(totals.sum()), ov

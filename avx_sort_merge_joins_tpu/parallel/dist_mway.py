@@ -97,6 +97,88 @@ def _slice_buckets(k2, n_valid, bounds, n_chips: int, cap: int):
     return bk.reshape(-1), jnp.stack(counts), overflow
 
 
+def _local_sorted_pair_2d(keys, payloads, n_cap: int, block_rows: int,
+                          tile_rows: int, fanin: int, use_pallas: bool):
+    """Sort a local (key, payload) shard ascending by (key, payload);
+    returns the padded (rows,128) pair layout."""
+    if use_pallas:
+        return mw.multiway_sort(keys, payloads, n_cap, block_rows,
+                                tile_rows, fanin, return_2d=True)
+    ks, ps = jax.lax.sort((keys[:n_cap], payloads[:n_cap]), num_keys=2)
+    rows = sort_ops.padded_rows(n_cap, block_rows, tile_rows)
+    kf = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n_cap].set(ks)
+    pf = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n_cap].set(ps)
+    return kf.reshape(rows, LANES), pf.reshape(rows, LANES)
+
+
+def _slice_buckets_pair(k2, p2, n_valid, bounds, n_chips: int, cap: int):
+    """Payload-carrying :func:`_slice_buckets`: cut BOTH sorted columns at
+    the same splitter ranks.  Returns (bkeys, bpayloads, counts, overflow)
+    in the padded (n_chips*cap,) bucket layout."""
+    kflat = k2.reshape(-1)
+    pflat = p2.reshape(-1)
+    idx = jnp.arange(kflat.shape[0], dtype=jnp.int32)
+    valid = idx < n_valid
+    kv = jnp.where(valid, kflat, KEY_POS_INF)
+    pv = jnp.where(valid, pflat, 0)
+    kv = jnp.concatenate([kv, jnp.full((cap,), KEY_POS_INF, jnp.int32)])
+    pv = jnp.concatenate([pv, jnp.zeros((cap,), jnp.int32)])
+
+    starts = [jnp.int32(0)]
+    for d in range(1, n_chips):
+        starts.append(jnp.sum((kv < bounds[d]).astype(jnp.int32)))
+    starts.append(n_valid.astype(jnp.int32))
+
+    bk = jnp.full((n_chips, cap), KEY_POS_INF, jnp.int32)
+    bp = jnp.zeros((n_chips, cap), jnp.int32)
+    counts = []
+    overflow = jnp.int32(0)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    for d in range(n_chips):
+        ln = starts[d + 1] - starts[d]
+        overflow = overflow + jnp.maximum(ln - cap, 0)
+        slk = jax.lax.dynamic_slice(kv, (starts[d],), (cap,))
+        slp = jax.lax.dynamic_slice(pv, (starts[d],), (cap,))
+        bk = bk.at[d].set(jnp.where(lane < ln, slk, KEY_POS_INF))
+        bp = bp.at[d].set(jnp.where(lane < ln, slp, 0))
+        counts.append(jnp.minimum(ln, cap))
+    return bk.reshape(-1), bp.reshape(-1), jnp.stack(counts), overflow
+
+
+def _merge_received_pair(rk_flat, rp_flat, counts, n_chips: int, cap: int,
+                         tile_rows: int, fanin: int, use_pallas: bool):
+    """K-way merge received (key, payload) runs into one sorted padded
+    column pair.  Returns (merged_k2, merged_p2, total)."""
+    total = jnp.sum(counts)
+    if not use_pallas:
+        ks, ps = jax.lax.sort((rk_flat, rp_flat), num_keys=2)
+        rows = rk_flat.shape[0] // LANES
+        pad_rows = tile_rows + 8
+        pad = jnp.full((pad_rows, LANES), KEY_POS_INF, jnp.int32)
+        return (jnp.concatenate([ks.reshape(rows, LANES), pad], axis=0),
+                jnp.concatenate([ps.reshape(rows, LANES), pad], axis=0),
+                total)
+    stride = cap // LANES
+    assert cap % (tile_rows * LANES) == 0, "bucket cap must be whole tiles"
+    rows = n_chips * stride
+    pad_rows = tile_rows + 8
+    nruns = n_chips if n_chips & (n_chips - 1) == 0 else \
+        1 << (n_chips - 1).bit_length()
+    extra = nruns - n_chips
+    pad = jnp.full((extra * stride + pad_rows, LANES), KEY_POS_INF,
+                   jnp.int32)
+    k2 = jnp.concatenate([rk_flat.reshape(rows, LANES), pad], axis=0)
+    p2 = jnp.concatenate([rp_flat.reshape(rows, LANES), pad], axis=0)
+    lens = jnp.concatenate([counts.astype(jnp.int32),
+                            jnp.zeros(extra, jnp.int32)])
+    while nruns > 1:
+        w = min(max(2, fanin), nruns)
+        k2, p2, lens = mw.multiway_merge(k2, p2, lens, stride, w, tile_rows)
+        stride *= w
+        nruns //= w
+    return k2, p2, total
+
+
 def _merge_received(rk_flat, counts, n_chips: int, cap: int,
                     tile_rows: int, fanin: int, use_pallas: bool):
     """K-way merge the received sorted runs into one padded sorted column.

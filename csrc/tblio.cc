@@ -39,9 +39,13 @@ struct Chunk {
 
 extern "C" {
 
-// Write n "key payload" rows to path. Returns 0 on success.
-int tbl_write(const char* path, const int32_t* keys, const int32_t* payloads,
-              int64_t n, int nthreads) {
+// Write n "key payload" rows to path (mode "wb" truncates, "ab" appends —
+// the append form backs the STREAMING persist of distributed materialize:
+// per-chip output chunks flush sequentially so no full join output ever
+// sits in host memory, reference: src/datagen/generator.c:200-213).
+static int tbl_write_mode(const char* path, const int32_t* keys,
+                          const int32_t* payloads, int64_t n, int nthreads,
+                          const char* mode) {
   if (nthreads < 1) nthreads = 1;
   int64_t per = (n + nthreads - 1) / nthreads;
   std::vector<Chunk> chunks(nthreads);
@@ -70,7 +74,7 @@ int tbl_write(const char* path, const int32_t* keys, const int32_t* payloads,
     });
   }
   for (auto& th : ts) th.join();
-  FILE* f = fopen(path, "wb");
+  FILE* f = fopen(path, mode);
   if (!f) return -1;
   for (auto& c : chunks)
     if (c.len && fwrite(c.buf.data(), 1, c.len, f) != c.len) {
@@ -78,6 +82,16 @@ int tbl_write(const char* path, const int32_t* keys, const int32_t* payloads,
       return -2;
     }
   return fclose(f) == 0 ? 0 : -3;
+}
+
+int tbl_write(const char* path, const int32_t* keys, const int32_t* payloads,
+              int64_t n, int nthreads) {
+  return tbl_write_mode(path, keys, payloads, n, nthreads, "wb");
+}
+
+int tbl_append(const char* path, const int32_t* keys, const int32_t* payloads,
+               int64_t n, int nthreads) {
+  return tbl_write_mode(path, keys, payloads, n, nthreads, "ab");
 }
 
 // Read up to cap rows from path into keys/payloads; returns rows read or <0.
