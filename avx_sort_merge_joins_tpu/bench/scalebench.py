@@ -33,7 +33,8 @@ def main(argv=None) -> int:
                         "HxC entries (e.g. 2x4) run a 2-D ('host','chip') "
                         "mesh with the hierarchical exchange")
     p.add_argument("--reps", type=int, default=2)
-    p.add_argument("--algo", default="m-way", choices=["m-way", "m-pass"])
+    p.add_argument("--algo", default="m-way",
+                   choices=["m-way", "m-pass", "mpsm"])
     args = p.parse_args(argv)
 
     ndev_all = len(jax.devices())
@@ -54,6 +55,11 @@ def main(argv=None) -> int:
     if args.algo == "m-pass":
         from ..parallel import dist_mpass
         join = dist_mpass.dist_mpass_join_count
+    elif args.algo == "mpsm":
+        # the S-ring scan-all-S-runs shape that distinguishes mpsm from
+        # m-way shows up directly in these rows vs the m-way ones
+        from ..parallel import dist_mpsm
+        join = dist_mpsm.dist_mpsm_join_count
     else:
         join = dist_mway.dist_mway_join_count
 
@@ -63,6 +69,11 @@ def main(argv=None) -> int:
         if "x" in spec_str:
             # 2-D ('host','chip') mesh: hierarchical exchange, per-AXIS
             # efficiency below
+            if args.algo == "mpsm":
+                print(f"[scalebench] mpsm skipped on 2-D mesh {spec_str} "
+                      "(S-ring schedules the flat chip axis only)",
+                      file=sys.stderr)
+                continue
             h, c = (int(x) for x in spec_str.split("x"))
             mesh = make_mesh2d(h, c)
             nd = h * c

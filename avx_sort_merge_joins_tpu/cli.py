@@ -289,9 +289,17 @@ def _run_key8b(args):
         join64.key8b_join_count, nR=nR, nS=nS, fanin=args.partfanout,
         pallas_sort=pallas_sort))
     t0 = time.perf_counter()
-    _, _, cnt = fn(R.keys, S.keys)
-    cnt = int(cnt)
+    _, _, cnt, ovf = fn(R.keys, S.keys)
+    cnt, ovf = int(cnt), int(ovf)
     dt = time.perf_counter() - t0
+    if ovf:
+        # detected limb-overflow segment: exact wide recount (host)
+        import numpy as np
+        print("[WARN ] KEY_8B count-kernel limb overflow; recounting "
+              "through the exact wide path", file=sys.stderr)
+        cnt = join64.merge_join_count_numpy64(
+            np.asarray(R.keys[:nR]).astype(np.int64),
+            np.asarray(S.keys[:nS]).astype(np.int64))
     n = nR + nS
     return JoinResult(totalresults=cnt, resultlist=[],
                       phases={"total": dt}, throughput=n / dt), n

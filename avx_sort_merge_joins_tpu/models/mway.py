@@ -66,10 +66,16 @@ def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
         rks = sorted2d(rk, nR)
         sks = sorted2d(sk, nS)
     else:
+        # S sorts NEGATED-ascending (= descending): the count kernel then
+        # reads S windows from the back and negates — one elementwise op
+        # instead of the 14-stage flip_flat per tile (PLAN round-3)
         rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows,
                                   fanin, return_2d=True)
-        sks, _ = mw.multiway_sort(sk, None, nS, block_rows, tile_rows,
-                                  fanin, return_2d=True)
+        sks, _ = mw.multiway_sort(jax.lax.neg(sk), None, nS, block_rows,
+                                  tile_rows, fanin, return_2d=True)
+        return mergejoin.merge_join_count_fused(rks, sks, nR, nS,
+                                                COUNT_TILE_ROWS,
+                                                s_negated=True)
     return mergejoin.merge_join_count_fused(rks, sks, nR, nS,
                                             COUNT_TILE_ROWS)
 
@@ -172,18 +178,18 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
     blocks_r = jax.jit(functools.partial(
         mw.sort_blocks_phase, n=nR, block_rows=block_rows,
         tile_rows=tile_rows))
-    blocks_s = jax.jit(functools.partial(
-        mw.sort_blocks_phase, n=nS, block_rows=block_rows,
+    blocks_s = jax.jit(lambda k: mw.sort_blocks_phase(
+        jax.lax.neg(k), None, n=nS, block_rows=block_rows,
         tile_rows=tile_rows))
     levels_r = mw.merge_levels(nR, block_rows, fanin)
     levels_s = mw.merge_levels(nS, block_rows, fanin)
     count = jax.jit(functools.partial(
         mergejoin.merge_join_count_fused, nR=nR, nS=nS,
-        tile_rows=COUNT_TILE_ROWS))
+        tile_rows=COUNT_TILE_ROWS, s_negated=True))
 
     def sort_phase(_):
         rks, _ = blocks_r(R.keys, None)
-        sks, _ = blocks_s(S.keys, None)
+        sks, _ = blocks_s(S.keys)
         return rks, sks
 
     def merge1_phase(pair):

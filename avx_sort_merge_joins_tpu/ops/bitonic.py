@@ -196,6 +196,60 @@ def cmpex_tagged(k, f, d, asc):
     return k, f
 
 
+def _lex2_le(hi, lo, hiv, lov):
+    """(hi, lo) <= (hiv, lov) plane-pair lex compare (int64 order on
+    order-preserving planes, see ops.join64)."""
+    return (hi < hiv) | ((hi == hiv) & (lo <= lov))
+
+
+def cmpex_tagged2(khi, klo, f, d, asc):
+    """Compare-exchange at flat distance d on a TWO-PLANE (hi, lo) key
+    with a tag riding along — the KEY_8B form of :func:`cmpex_tagged`
+    (comparators decide on the plane-pair lex order; all three arrays
+    move together, so tag multisets per 64-bit-key segment are
+    preserved)."""
+    if d < LANES:
+        lane = _lane_iota(khi.shape)
+        lo_pos = (lane & d) == 0
+
+        def pick(x):
+            return jnp.where(lo_pos, _roll(x, LANES - d, 1), _roll(x, d, 1))
+
+        hv, lv, fv = pick(khi), pick(klo), pick(f)
+        role_lo = jnp.logical_not(jnp.logical_xor(lo_pos, asc))
+        le = _lex2_le(khi, klo, hv, lv)
+        ge = _lex2_le(hv, lv, khi, klo)
+        keep = (role_lo & le) | (jnp.logical_not(role_lo) & ge)
+        return (jnp.where(keep, khi, hv), jnp.where(keep, klo, lv),
+                jnp.where(keep, f, fv))
+    dr = d // LANES
+    r = khi.shape[0]
+    shape4 = (r // (2 * dr), 2, dr, LANES)
+    h3, l3, f3 = (x.reshape(shape4) for x in (khi, klo, f))
+    asc0 = asc if isinstance(asc, bool) else asc.reshape(shape4)[:, 0]
+    le01 = _lex2_le(h3[:, 0], l3[:, 0], h3[:, 1], l3[:, 1])
+    c0 = jnp.logical_not(jnp.logical_xor(le01, asc0))
+
+    def mix(x3):
+        xl = jnp.where(c0, x3[:, 0], x3[:, 1])
+        xh = jnp.where(c0, x3[:, 1], x3[:, 0])
+        return jnp.concatenate([xl[:, None], xh[:, None]],
+                               axis=1).reshape(r, LANES)
+
+    return mix(h3), mix(l3), mix(f3)
+
+
+def bitonic_merge_tagged2(khi, klo, f, ascending=True):
+    """Bitonic merge of a flat bitonic two-plane (hi, lo) key sequence
+    with a tag array (KEY_8B count path)."""
+    n = khi.shape[0] * LANES
+    d = n // 2
+    while d >= 1:
+        khi, klo, f = cmpex_tagged2(khi, klo, f, d, ascending)
+        d //= 2
+    return khi, klo, f
+
+
 def bitonic_merge_tagged(k, f, ascending=True):
     """Bitonic merge of a flat (R,128) bitonic key sequence with a tag
     array riding along on key-only comparator decisions (see

@@ -39,10 +39,14 @@ def join64(hi: np.ndarray, lo_biased: np.ndarray) -> np.ndarray:
     return (hi.astype(np.int64) << 32) | lo.astype(np.int64)
 
 
-def sort64(hi, lo_biased, n: int | None = None, fanin: int = 16):
+def sort64(hi, lo_biased, n: int | None = None, fanin: int = 16,
+           return_2d: bool = False):
     """Sort int64 keys given as planes, via the Pallas pair network
-    (lex (hi, lo) == int64 order).  Returns sorted (hi, lo_biased)."""
-    return mw.multiway_sort(hi, lo_biased, n, fanin=fanin)
+    (lex (hi, lo) == int64 order).  Returns sorted (hi, lo_biased);
+    ``return_2d`` keeps the padded (rows,128) layouts consumable by the
+    fused KEY_8B count kernel."""
+    return mw.multiway_sort(hi, lo_biased, n, fanin=fanin,
+                            return_2d=return_2d)
 
 
 def widen32(keys):
@@ -59,21 +63,34 @@ def widen32(keys):
 def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
                      pallas_sort: bool = True):
     """End-to-end KEY_8B count join on int32-valued key streams widened
-    to 64-bit planes: Pallas plane-pair multiway sort (beyond the
-    reference — its KEY_8B build ERRORS unless --scalarsort/--scalarmerge,
-    main.c:871-877) + the forced-scalar count analog (XLA tag-sort rank
-    reduction on the planes).  Returns (sorted_r_planes, sorted_s_planes,
-    count_device_scalar) so callers can phase-time sort vs count."""
+    to 64-bit planes: Pallas plane-pair multiway sort + the fused
+    plane-lex count kernel (both beyond the reference — its KEY_8B build
+    ERRORS unless --scalarsort/--scalarmerge and then counts through the
+    scalar merge_join, main.c:871-877).  ``pallas_sort=False`` takes the
+    forced-scalar analog end to end (XLA plane sort + tag-sort count).
+    Returns (sorted_r_planes, sorted_s_planes, count_device_scalar) so
+    callers can phase-time sort vs count."""
+    from . import mergejoin
+
     rhi, rlo = widen32(jnp.asarray(rkeys[:nR], jnp.int32))
     shi, slo = widen32(jnp.asarray(skeys[:nS], jnp.int32))
     if pallas_sort:
-        rhi, rlo = sort64(rhi, rlo, nR, fanin)
-        shi, slo = sort64(shi, slo, nS, fanin)
-    else:
-        rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
-        shi, slo = jax.lax.sort((shi, slo), num_keys=2)
+        rh2, rl2 = sort64(rhi, rlo, nR, fanin, return_2d=True)
+        sh2, sl2 = sort64(shi, slo, nS, fanin, return_2d=True)
+        stats = mergejoin.merge_join_count_fused64(
+            rh2, rl2, sh2, sl2, nR, nS)
+        # limbs recombined on device; callers must reject ovf != 0 (a
+        # segment's cntR·cntS reached 2^29 — take the wide path)
+        cnt = (stats[0, 0] << 30) + stats[0, 1]
+        rhi = rh2.reshape(-1)[:nR]
+        rlo = rl2.reshape(-1)[:nR]
+        shi = sh2.reshape(-1)[:nS]
+        slo = sl2.reshape(-1)[:nS]
+        return (rhi, rlo), (shi, slo), cnt, stats[0, 2]
+    rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
+    shi, slo = jax.lax.sort((shi, slo), num_keys=2)
     cnt = merge_join_count_xla64(rhi, rlo, shi, slo, nR, nS)
-    return (rhi, rlo), (shi, slo), cnt
+    return (rhi, rlo), (shi, slo), cnt, jnp.int32(0)
 
 
 def merge_join_count_xla64(rhi, rlo, shi, slo, nR: int, nS: int):

@@ -147,7 +147,8 @@ def merge_join_count_asc(rk_sorted, sk_sorted, nR: int, nS: int,
     return ca, sa, cb, sb
 
 
-def _segmented_counts(keys, flags, carry_key, r_open, s_open):
+def _segmented_counts(keys, flags, carry_key, r_open, s_open,
+                      boundary=None):
     """Within one sorted (key, flag) tile, compute inclusive per-position
     counts of R (flag 0) and S (flag 1) elements inside each maximal
     equal-key segment, merging the open segment carried across tiles.
@@ -166,10 +167,13 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open):
     from . import bitonic
 
     rows = keys.shape[0]
-    idx = bitonic.flat_index(keys.shape)
-    prev = bitonic.shift_right_flat(keys, 1)
-    b = (keys != prev).astype(jnp.int32)
-    b = jnp.where(idx == 0, (keys != carry_key).astype(jnp.int32), b)
+    if boundary is not None:
+        b = boundary  # caller computed it (multi-plane keys, KEY_8B)
+    else:
+        idx = bitonic.flat_index(keys.shape)
+        prev = bitonic.shift_right_flat(keys, 1)
+        b = (keys != prev).astype(jnp.int32)
+        b = jnp.where(idx == 0, (keys != carry_key).astype(jnp.int32), b)
     n = rows * LANES
     # pack both counters into one lane when they fit 15 bits each — halves
     # the scan's VMEM traffic (within-tile counts are bounded by T)
@@ -221,7 +225,8 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open):
 
 
 def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
-                  insem, *, tile_rows: int, prefetch: bool = True):
+                  insem, *, tile_rows: int, prefetch: bool = True,
+                  s_negated: bool = False):
     """Stream-merge two sorted key columns and count equi-join matches.
 
     The vectorized replacement of the reference's scalar merge_join
@@ -280,6 +285,21 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
         win = buf[pl.ds(rowoff, tile_rows + 8), :]
         return bitonic.shift_flat(win, skip)[:tile_rows]
 
+    # stream-B cursor → physical window start.  ``s_negated``: the S
+    # column holds -S sorted ascending with a T-element front guard (see
+    # merge_join_count_fused); reading [nS - eb, ..) and NEGATING yields
+    # the REVERSED ascending window directly — one elementwise negate
+    # replaces the 14-stage flip_flat per tile:
+    #   S'_phys[P + j] = -S_asc[nS-1-j], P = T
+    #   ⇒ -S'_phys[(nS - eb) + x] = S_asc[eb + T-1-x] = flip(window)[x]
+    def b_elem(eb):
+        return nS - eb if s_negated else eb
+
+    def b_issue_elem(eb):
+        # prefetch base covering the NEXT tile's window (cursor moves
+        # backward through the physical S' column when s_negated)
+        return jnp.maximum(0, nS - eb - T) if s_negated else eb
+
     fidx = bitonic.flat_index((tile_rows, LANES))
 
     def tile_compute(t, st, ak, bk):
@@ -288,8 +308,12 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
         avail_b = nS - eb
         fa = jnp.where(fidx < avail_a, 0, 2).astype(jnp.int32)
         ak = jnp.where(fidx < avail_a, ak, KEY_POS_INF)
-        bk = jnp.where(fidx < avail_b, bk, KEY_POS_INF)
-        bk_r = bitonic.flip_flat(bk)
+        if s_negated:
+            bk_r = jnp.where(fidx >= T - avail_b,
+                             jax.lax.neg(bk), KEY_POS_INF)
+        else:
+            bk = jnp.where(fidx < avail_b, bk, KEY_POS_INF)
+            bk_r = bitonic.flip_flat(bk)
         # flip(B)'s validity mask needs no data reversal: reversed position
         # i holds B element T-1-i, valid iff T-1-i < avail_b
         fb_r = jnp.where(fidx >= T - avail_b, 1, 2).astype(jnp.int32)
@@ -363,7 +387,7 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
 
         def tile_body(t, st):
             cp1, skip_a = load(wa0, rk_hbm, st[0], insem.at[0])
-            cp2, skip_b = load(wb0, sk_hbm, st[1], insem.at[1])
+            cp2, skip_b = load(wb0, sk_hbm, b_elem(st[1]), insem.at[1])
             cp1.wait()
             cp2.wait()
             ak = bitonic.shift_flat(wa0[: tile_rows + 8], skip_a)[:tile_rows]
@@ -393,7 +417,7 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
 
     # prologue: tile 0's windows into buffer set 0
     base_a0 = issue(wa0, rk_hbm, jnp.int32(0), insem.at[0])
-    base_b0 = issue(wb0, sk_hbm, jnp.int32(0), insem.at[1])
+    base_b0 = issue(wb0, sk_hbm, b_issue_elem(jnp.int32(0)), insem.at[1])
     init = init8 + (base_a0, base_b0)
 
     def pair_body(it, carry):
@@ -405,24 +429,24 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
         # here covers whatever tile t0 consumes); in flight through tile
         # t0's whole compute
         base_a1 = issue(wa1, rk_hbm, st[0], insem.at[2])
-        base_b1 = issue(wb1, sk_hbm, st[1], insem.at[3])
+        base_b1 = issue(wb1, sk_hbm, b_issue_elem(st[1]), insem.at[3])
         # consume set 0 (issued one tile ago)
         pltpu.make_async_copy(
             rk_hbm.at[pl.ds(base_a, WIN), :], wa0, insem.at[0]).wait()
         pltpu.make_async_copy(
             sk_hbm.at[pl.ds(base_b, WIN), :], wb0, insem.at[1]).wait()
         st = guarded(t0, st, window(wa0, st[0], base_a),
-                     window(wb0, st[1], base_b))
+                     window(wb0, b_elem(st[1]), base_b))
         # prefetch t0+2's windows into set 0 (in flight through t0+1)
         base_a0n = issue(wa0, rk_hbm, st[0], insem.at[0])
-        base_b0n = issue(wb0, sk_hbm, st[1], insem.at[1])
+        base_b0n = issue(wb0, sk_hbm, b_issue_elem(st[1]), insem.at[1])
         # consume set 1
         pltpu.make_async_copy(
             rk_hbm.at[pl.ds(base_a1, WIN), :], wa1, insem.at[2]).wait()
         pltpu.make_async_copy(
             sk_hbm.at[pl.ds(base_b1, WIN), :], wb1, insem.at[3]).wait()
         st = guarded(t0 + 1, st, window(wa1, st[0], base_a1),
-                     window(wb1, st[1], base_b1))
+                     window(wb1, b_elem(st[1]), base_b1))
         return st + (base_a0n, base_b0n)
 
     npairs = (ntiles + 1) // 2
@@ -448,7 +472,8 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
 def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
                            tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
                            interpret: bool | None = None,
-                           prefetch: bool | None = None):
+                           prefetch: bool | None = None,
+                           s_negated: bool = False):
     """Exact match count of two sorted key columns in one read-only pass.
 
     ``rk2d``/``sk2d`` are (rows, 128) ascending key layouts with at least
@@ -462,6 +487,12 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
     ``interpret`` defaults to "not on TPU"; pass it explicitly when the
     executing mesh's platform differs from the default backend (the
     CPU-mesh dryrun under a TPU default).
+
+    ``s_negated``: ``sk2d`` holds the NEGATED S keys sorted ascending
+    (= S descending).  The kernel then reads S windows from the back and
+    negates them — one elementwise op replacing the 14-stage flip_flat
+    per tile.  The flagship m-way model sorts S this way; symmetric-input
+    callers (distributed paths) pass plain ascending columns.
     """
     import functools as ft
     import os
@@ -491,8 +522,16 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
 
     rk2d = ensure_min_rows(rk2d)
     sk2d = ensure_min_rows(sk2d)
+    if s_negated:
+        # front guard of exactly T elements so the backward cursor's
+        # physical window start nS - eb never goes negative (values are
+        # never read into valid positions — any sentinel works)
+        sk2d = jnp.concatenate(
+            [jnp.full((tile_rows, LANES), KEY_POS_INF, jnp.int32), sk2d],
+            axis=0)
     out = pl.pallas_call(
-        ft.partial(_count_kernel, tile_rows=tile_rows, prefetch=prefetch),
+        ft.partial(_count_kernel, tile_rows=tile_rows, prefetch=prefetch,
+                   s_negated=s_negated),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
         grid=(1,),
         in_specs=[
@@ -512,6 +551,148 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, rk2d, sk2d)
     return out
+
+
+def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
+                    wah, wal, wbh, wbl, insem, *, tile_rows: int):
+    """KEY_8B fused count: stream-merge two sorted TWO-PLANE (hi, lo)
+    int64-key columns and count matches — the engine-path replacement of
+    the forced-scalar KEY_8B count (the reference can only run KEY_8B
+    through its scalar merge_join, main.c:871-877; the plane-pair lex
+    comparators put it back on the vector engine).  Single-buffered
+    windows (KEY_8B is a capability mode, not the headline); identical
+    segment/limb/overflow machinery to :func:`_count_kernel`."""
+    from . import bitonic
+    from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
+
+    T = tile_rows * LANES
+    W8 = tile_rows + 8
+    nR = lens_ref[0]
+    nS = lens_ref[1]
+    total = nR + nS
+    ntiles = (total + T - 1) // T
+    fidx = bitonic.flat_index((tile_rows, LANES))
+
+    def load(dst, src_hbm, elem, sem):
+        row = jnp.minimum(elem // LANES, src_hbm.shape[0] - W8)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(row, W8), :], dst, sem)
+        cp.start()
+        return cp, elem % LANES
+
+    def tile_body(t, st):
+        (ea, eb, ck_hi, ck_lo, r_open, s_open, hi, lo, ovf) = st
+        avail_a = nR - ea
+        avail_b = nS - eb
+        c1, skip_a = load(wah, rhi_hbm, ea, insem.at[0])
+        c2, _ = load(wal, rlo_hbm, ea, insem.at[1])
+        c3, skip_b = load(wbh, shi_hbm, eb, insem.at[2])
+        c4, _ = load(wbl, slo_hbm, eb, insem.at[3])
+        c1.wait(); c2.wait(); c3.wait(); c4.wait()
+        ahi = bitonic.shift_flat(wah[:], skip_a)[:tile_rows]
+        alo = bitonic.shift_flat(wal[:], skip_a)[:tile_rows]
+        bhi = bitonic.shift_flat(wbh[:], skip_b)[:tile_rows]
+        blo = bitonic.shift_flat(wbl[:], skip_b)[:tile_rows]
+        va = fidx < avail_a
+        vb = fidx < avail_b
+        fa = jnp.where(va, 0, 2).astype(jnp.int32)
+        ahi = jnp.where(va, ahi, KEY_POS_INF)
+        alo = jnp.where(va, alo, KEY_POS_INF)
+        bhi = jnp.where(vb, bhi, KEY_POS_INF)
+        blo = jnp.where(vb, blo, KEY_POS_INF)
+        bhi_r = bitonic.flip_flat(bhi)
+        blo_r = bitonic.flip_flat(blo)
+        fb_r = jnp.where(fidx >= T - avail_b, 1, 2).astype(jnp.int32)
+        le = bitonic._lex2_le(ahi, alo, bhi_r, blo_r)
+        hhi = jnp.where(le, ahi, bhi_r)
+        hlo = jnp.where(le, alo, blo_r)
+        hf = jnp.where(le, fa, fb_r)
+        mhi, mlo, mf = bitonic.bitonic_merge_tagged2(hhi, hlo, hf,
+                                                     ascending=True)
+
+        inc_a = jnp.sum((mf == 0).astype(jnp.int32))
+        inc_b = jnp.sum((mf == 1).astype(jnp.int32))
+        inc_out = jnp.minimum(jnp.int32(T), total - t * T)
+
+        # 64-bit segment boundaries from BOTH planes
+        prev_hi = bitonic.shift_right_flat(mhi, 1)
+        prev_lo = bitonic.shift_right_flat(mlo, 1)
+        neq = ((mhi != prev_hi) | (mlo != prev_lo)).astype(jnp.int32)
+        b = jnp.where(fidx == 0,
+                      ((mhi != ck_hi) | (mlo != ck_lo)).astype(jnp.int32),
+                      neq)
+        c0, c1_, f = _segmented_counts(mhi, mf, jnp.int32(0), r_open,
+                                       s_open, boundary=b)
+        b0 = jnp.sum(jnp.where(fidx == 0, b, 0))
+        bnext = bitonic.shift_flat(neq, 1)
+        bnext = jnp.where(fidx == T - 1, 0, bnext)
+        closes = jnp.sum(bnext * c0 * c1_)
+        big = jnp.float32(1 << 29)
+        pf = c0.astype(jnp.float32) * c1_.astype(jnp.float32)
+        ovf = ovf | jnp.sum(((bnext > 0) & (pf >= big)).astype(jnp.int32))
+        ro_f = r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        ovf = ovf | jnp.where((b0 > 0) & (ro_f >= big), 1, 0)
+
+        lv = inc_out - 1
+        at_lv = fidx == lv
+        partial = inc_out < T
+        ck_hi_n = jnp.sum(jnp.where(at_lv, mhi, 0))
+        ck_lo_n = jnp.sum(jnp.where(at_lv, mlo, 0))
+        r_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c0, 0)))
+        s_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c1_, 0)))
+
+        lo = lo + closes
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        lo = lo + b0 * r_open * s_open
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        return (ea + inc_a, eb + inc_b, ck_hi_n, ck_lo_n, r_new, s_new,
+                hi, lo, ovf)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
+            jnp.int32(KEY_NEG_INF), jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    st = jax.lax.fori_loop(0, ntiles, tile_body, init)
+    _, _, _, _, r_open, s_open, hi, lo, ovf = st
+    ovf = ovf | jnp.where(
+        r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        >= jnp.float32(1 << 29), 1, 0)
+    lo = lo + r_open * s_open
+    hi = hi + (lo >> 30)
+    lo = lo & ((1 << 30) - 1)
+    out_ref[0, 0] = hi
+    out_ref[0, 1] = lo
+    out_ref[0, 2] = ovf
+
+
+def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
+                             tile_rows: int = 128,
+                             interpret: bool | None = None):
+    """KEY_8B fused count over sorted (hi, lo) plane layouts (as produced
+    by ``join64.sort64(..., return_2d=True)``).  Returns the (1, 3)
+    [hi, lo, overflow] stats row; combine with :func:`finish_count_fused`.
+    """
+    import functools as ft
+
+    if interpret is None:
+        interpret = sort_ops._interpret()
+    lens_arr = jnp.stack([jnp.asarray(nR, jnp.int32),
+                          jnp.asarray(nS, jnp.int32)])
+    w8 = tile_rows + 8
+    win = pltpu.VMEM((w8, LANES), jnp.int32)
+    return pl.pallas_call(
+        ft.partial(_count_kernel64, tile_rows=tile_rows),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[win, win, win, win,
+                        pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lens_arr, rhi2d, rlo2d, shi2d, slo2d)
 
 
 class CountLimbOverflow(RuntimeError):

@@ -85,20 +85,26 @@ def _select_merge(ak, ap, bk, bp):
 def _mwaymerge_kernel(
     lens_ref, *refs,
     fanin: int, stride_rows: int, tile_rows: int, keys_only: bool,
-    uniform: bool,
+    uniform: bool, leaf_prefetch: bool = False,
 ):
-    if keys_only:
+    if keys_only and leaf_prefetch:
+        (k_hbm, ok_hbm, fk, wk, wk2, rk_s, insem, outsem,
+         lb, lsem, lstate) = refs
+        p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
+    elif keys_only:
         (k_hbm, ok_hbm, fk, wk, wk2, rk_s, insem, outsem) = refs
         p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
     else:
         (k_hbm, p_hbm, ok_hbm, op_hbm, fk, fp,
          wk, wp, wk2, wp2, rk_s, rp_s, insem, outsem) = refs
+        leaf_prefetch = False
     W = fanin
     nnodes = W - 1
     T = tile_rows * LANES
     CAP = FIFO_TILES * T
     g = pl.program_id(0)
     run0 = g * W
+    WINR = 2 * tile_rows + 8  # leaf prefetch window rows
 
     if uniform:
         # run lengths follow the sort composition's formula: run r holds
@@ -141,6 +147,43 @@ def _mwaymerge_kernel(
 
     out_base_rows = run0 * stride_rows
 
+    # ----- leaf-window prefetch machinery (keys-only fast path) --------
+    # Leaf HBM windows are DOUBLE-WIDE (2T+8 rows) and REFILLED by a
+    # fori over leaves with dynamic DMA-semaphore indexing at the END of
+    # each round, so the next round's leaf reads hit VMEM with the DMA
+    # having had a full round of flight (PLAN round-1 prototype measured
+    # +6.5%; the fori + SMEM-state formulation keeps the conditional DMA
+    # code ONE body instead of W unrolled pl.when blocks — the compile
+    # explosion that reverted the prototype).  SMEM state rows:
+    # lstate[0,c] = buffered base element, [1,c] = DMA pending flag,
+    # [2,c] = mirror of consumed[leaf c] (the refill loop needs dynamic
+    # indexing; the authoritative tuple allows only static indices).
+    def _leaf_start_dma(c, elem):
+        """Start the 2T window DMA for leaf c at the row floor of
+        ``elem``; returns the clamped base element."""
+        row = elem // LANES
+        row = jnp.clip(row, 0, k_hbm.shape[0] - WINR)
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(row, WINR), :], lb.at[c], lsem.at[c]).start()
+        return row * LANES
+
+    def _leaf_wait_dma(c):
+        row = lstate[0, c] // LANES
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(row, WINR), :], lb.at[c], lsem.at[c]).wait()
+
+    if leaf_prefetch:
+        def _init_leaf(c, carry):
+            elem = (run0 + c) * (stride_rows * LANES)
+            lstate[0, c] = _leaf_start_dma(c, elem)
+            lstate[1, c] = jnp.int32(1)
+            lstate[2, c] = jnp.int32(0)
+            return carry
+
+        jax.lax.fori_loop(0, W, _init_leaf, 0)
+        lstate[3, 0] = jnp.int32(0)  # root output slot pending flags
+        lstate[3, 1] = jnp.int32(0)
+
     def child_avail(c, produced, consumed):
         """(available elements, ready?) of child c.  A run child is always
         ready (fully materialized in HBM); a FIFO child is ready when it
@@ -155,6 +198,24 @@ def _mwaymerge_kernel(
 
     def load_child_window(c, consumed, wkbuf, wpbuf):
         """Return (keys, payloads) ascending T-window of child c's head."""
+        if c >= nnodes and leaf_prefetch:
+            run = c - nnodes  # static
+            e = consumed[c]
+            elem = (run0 + run) * stride_rows * LANES + e
+
+            @pl.when(lstate[1, run] == 1)
+            def _():
+                _leaf_wait_dma(run)
+                lstate[1, run] = jnp.int32(0)
+
+            off = elem - lstate[0, run]
+            rowoff, skip = off // LANES, off % LANES
+            # zero-length padding runs sit past the physical array: their
+            # clamped base leaves rowoff out of range — clamp; the junk is
+            # fully masked by avail == 0 downstream
+            rowoff = jnp.clip(rowoff, 0, tile_rows)
+            win = lb[run, pl.ds(rowoff, tile_rows + 8), :]
+            return bitonic.shift_flat(win, skip)[:tile_rows], None
         if c >= nnodes:
             run = c - nnodes
             e = consumed[c]
@@ -207,7 +268,30 @@ def _mwaymerge_kernel(
         mk, mp, cons_a = _select_merge(ak, ap, bk, bp)
         inc_l = jnp.minimum(cons_a, avail_l)
         inc_r = jnp.minimum(T - cons_a, avail_r)
-        if m == 0:
+        if m == 0 and leaf_prefetch:
+            # root: DOUBLE-BUFFERED output stage — the DMA of fire k is
+            # waited at fire k+2 (same slot), so it has a full root
+            # period of flight (the round-1 prototype's other half).
+            # lstate[3, s] = slot-s DMA pending, [4, s] = its dest row.
+            slot = jnp.remainder(produced[0] // T, 2)
+            row = pl.multiple_of(slot * tile_rows, tile_rows)
+
+            @pl.when(lstate[3, slot] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    rk_s.at[pl.ds(row, tile_rows), :],
+                    ok_hbm.at[pl.ds(lstate[4, slot], tile_rows), :],
+                    outsem.at[slot]).wait()
+
+            rk_s[pl.ds(row, tile_rows), :] = mk
+            orow = out_base_rows + (produced[0] // LANES)
+            pltpu.make_async_copy(
+                rk_s.at[pl.ds(row, tile_rows), :],
+                ok_hbm.at[pl.ds(orow, tile_rows), :],
+                outsem.at[slot]).start()
+            lstate[3, slot] = jnp.int32(1)
+            lstate[4, slot] = orow
+        elif m == 0:
             # root: stage and DMA to the output HBM region
             rk_s[:] = mk
             orow = out_base_rows + (produced[0] // LANES)
@@ -242,6 +326,12 @@ def _mwaymerge_kernel(
         consumed = tuple(
             c + inc_l if i == cl else (c + inc_r if i == cr else c)
             for i, c in enumerate(consumed))
+        if leaf_prefetch:
+            # mirror leaf consumption into SMEM for the dynamic refill loop
+            if cl >= nnodes:
+                lstate[2, cl - nnodes] = consumed[cl]
+            if cr >= nnodes:
+                lstate[2, cr - nnodes] = consumed[cr]
         return produced, consumed
 
     def round_body(_, carry):
@@ -264,6 +354,23 @@ def _mwaymerge_kernel(
 
             produced, consumed = jax.lax.cond(fire, do, skip,
                                               (produced, consumed))
+        if leaf_prefetch:
+            # refill drained leaf windows for the NEXT round: one fori
+            # body with dynamic (c-indexed) buffers/semaphores — the DMA
+            # gets the whole next round's sweep as flight time
+            def _refill(c, carry):
+                e = lstate[2, c]
+                elem = (run0 + c) * (stride_rows * LANES) + e
+
+                @pl.when((lstate[1, c] == 0)
+                         & (elem - lstate[0, c] >= LANES))
+                def _():
+                    lstate[0, c] = _leaf_start_dma(c, elem)
+                    lstate[1, c] = jnp.int32(1)
+
+                return carry
+
+            jax.lax.fori_loop(0, W, _refill, 0)
         return produced, consumed
 
     logw = max(1, W - 1).bit_length()
@@ -273,11 +380,31 @@ def _mwaymerge_kernel(
     produced0 = tuple(jnp.int32(0) for _ in range(nnodes))
     consumed0 = tuple(jnp.int32(0) for _ in range(2 * nnodes + 1))
     jax.lax.fori_loop(0, rounds, round_body, (produced0, consumed0))
+    if leaf_prefetch:
+        # drain still-pending leaf DMAs (semaphores must be zero at exit)
+        def _drain(c, carry):
+            @pl.when(lstate[1, c] == 1)
+            def _():
+                _leaf_wait_dma(c)
+                lstate[1, c] = jnp.int32(0)
+
+            return carry
+
+        jax.lax.fori_loop(0, W, _drain, 0)
+        # drain the last root output DMAs (one per slot may be in flight)
+        for s in (0, 1):
+            @pl.when(lstate[3, s] == 1)
+            def _(s=s):
+                pltpu.make_async_copy(
+                    rk_s.at[pl.ds(s * tile_rows, tile_rows), :],
+                    ok_hbm.at[pl.ds(lstate[4, s], tile_rows), :],
+                    outsem.at[s]).wait()
+                lstate[3, s] = jnp.int32(0)
 
 
 def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
                    fanin: int, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
-                   uniform_lens=None):
+                   uniform_lens=None, leaf_prefetch=None):
     """Merge groups of ``fanin`` consecutive ascending runs, each run i at
     rows [i*stride_rows, ...) with logical length lens[i].
 
@@ -320,6 +447,10 @@ def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
             lens_arr = jnp.asarray(np.asarray(lens, dtype=np.int32))
     nnodes = fanin - 1
     keys_only = payloads2d is None
+    if leaf_prefetch is None:
+        import os
+        leaf_prefetch = os.environ.get("SMJ_LEAF_PREFETCH", "1") == "1"
+    leaf_prefetch = bool(leaf_prefetch) and keys_only
     kshape = jax.ShapeDtypeStruct(keys2d.shape, keys2d.dtype)
     win = pltpu.VMEM((tile_rows + 8, LANES), jnp.int32)
     fifo = pltpu.VMEM((nnodes, (FIFO_TILES + 1) * tile_rows, LANES), jnp.int32)
@@ -329,9 +460,18 @@ def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pl.ANY)]
-        scratch = [fifo, win, win, stage,
+        # prefetch mode double-buffers the root output stage
+        root_stage = pltpu.VMEM(
+            ((2 if leaf_prefetch else 1) * tile_rows, LANES), jnp.int32)
+        scratch = [fifo, win, win, root_stage,
                    pltpu.SemaphoreType.DMA((2,)),
                    pltpu.SemaphoreType.DMA((2,))]
+        if leaf_prefetch:
+            scratch += [
+                pltpu.VMEM((fanin, 2 * tile_rows + 8, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((fanin,)),
+                pltpu.SMEM((5, max(2, fanin)), jnp.int32),
+            ]
         operands = (lens_arr, keys2d)
     else:
         out_shape = (kshape,
@@ -348,7 +488,8 @@ def multiway_merge(keys2d, payloads2d, lens, stride_rows: int,
     out = pl.pallas_call(
         functools.partial(_mwaymerge_kernel, fanin=fanin,
                           stride_rows=stride_rows, tile_rows=tile_rows,
-                          keys_only=keys_only, uniform=uniform),
+                          keys_only=keys_only, uniform=uniform,
+                          leaf_prefetch=leaf_prefetch),
         out_shape=out_shape,
         grid=(ngroups,),
         in_specs=in_specs,

@@ -18,6 +18,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from avx_sort_merge_joins_tpu.ops import multiwaymerge as mw  # noqa: E402
 
 

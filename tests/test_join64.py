@@ -41,13 +41,15 @@ def test_widen32_order_and_roundtrip(rng):
 
 
 def test_key8b_join_count_end_to_end(rng):
-    """The full KEY_8B pipeline (widen -> Pallas plane sort -> scalar
-    count analog) against the numpy oracle, nonunique keys."""
+    """The full KEY_8B ENGINE pipeline (widen -> Pallas plane sort ->
+    fused plane-lex count kernel) against the numpy oracle, nonunique
+    keys."""
     nR, nS = 30000, 45000
     rk = rng.integers(1, 8000, nR).astype(np.int32)
     sk = rng.integers(1, 8000, nS).astype(np.int32)
-    (rhi, rlo), _, cnt = join64.key8b_join_count(
+    (rhi, rlo), _, cnt, ovf = join64.key8b_join_count(
         jnp.asarray(rk), jnp.asarray(sk), nR, nS)
+    assert int(ovf) == 0
     assert int(cnt) == join64.merge_join_count_numpy64(
         rk.astype(np.int64), sk.astype(np.int64))
     # the sorted planes really are the Pallas sort's output
@@ -59,9 +61,39 @@ def test_key8b_scalar_sort_path(rng):
     nR, nS = 10000, 15000
     rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
     sk = rng.integers(1, nR + 1, nS).astype(np.int32)
-    _, _, cnt = join64.key8b_join_count(
+    _, _, cnt, ovf = join64.key8b_join_count(
         jnp.asarray(rk), jnp.asarray(sk), nR, nS, pallas_sort=False)
+    assert int(ovf) == 0
     assert int(cnt) == nS
+
+
+def test_fused64_wide_keys_vs_oracle(rng):
+    """The fused plane-lex kernel on genuinely 64-bit keys (hi plane
+    carries real entropy, duplicates straddle tile boundaries)."""
+    from avx_sort_merge_joins_tpu.ops import mergejoin
+
+    nR, nS = 40000, 50000
+    pool = rng.integers(-(2**40), 2**40, 5000).astype(np.int64)
+    rk = pool[rng.integers(0, 5000, nR)]
+    sk = pool[rng.integers(0, 5000, nS)]
+    rhi, rlo = join64.split64(np.sort(rk))
+    shi, slo = join64.split64(np.sort(sk))
+
+    def layout(hi, lo, n):
+        from avx_sort_merge_joins_tpu.ops import sort as so
+        from avx_sort_merge_joins_tpu.ops.bitonic import KEY_POS_INF, LANES
+        rows = so.padded_rows(n, 512, 256)
+        h = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(hi))
+        l = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(lo))
+        return h.reshape(rows, LANES), l.reshape(rows, LANES)
+
+    rh2, rl2 = layout(rhi, rlo, nR)
+    sh2, sl2 = layout(shi, slo, nS)
+    stats = mergejoin.merge_join_count_fused64(rh2, rl2, sh2, sl2, nR, nS)
+    got = mergejoin.finish_count_fused(stats)
+    assert got == join64.merge_join_count_numpy64(rk, sk)
 
 
 def test_count64_vs_oracle(rng):
