@@ -64,6 +64,22 @@ def _merge_pass_level(ks, ps, n, level, tile_rows, flip):
     return ks, ps
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool):
+    """Cached jitted merge pass (a fresh per-call jit closure re-traces on
+    every model invocation — ~seconds of pure trace time per timed rep)."""
+    return jax.jit(functools.partial(
+        _merge_pass_level, n=n, level=level, tile_rows=tile_rows, flip=flip))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_count(nR: int, nS: int, tile_rows: int):
+    def count(rk2, sk2):
+        return mergejoin.merge_join_count(
+            rk2.reshape(-1), sk2.reshape(-1), nR, nS, tile_rows)
+    return jax.jit(count)
+
+
 def sortmergejoin_multipass(R: Relation, S: Relation,
                             config: JoinConfig | None = None,
                             block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
@@ -87,31 +103,24 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
     def merge1_phase(st):
         rks, rps, sks, sps = st
         if levels_r:
-            rks, rps = jax.jit(functools.partial(
-                _merge_pass_level, n=nR, level=levels_r[0],
-                tile_rows=tile_rows, flip=False))(rks, rps)
+            rks, rps = _jit_merge_pass_level(
+                nR, levels_r[0], tile_rows, False)(rks, rps)
         if levels_s:
-            sks, sps = jax.jit(functools.partial(
-                _merge_pass_level, n=nS, level=levels_s[0],
-                tile_rows=tile_rows, flip=True))(sks, sps)
+            sks, sps = _jit_merge_pass_level(
+                nS, levels_s[0], tile_rows, True)(sks, sps)
         return rks, rps, sks, sps
 
     def mergerest_phase(st):
         rks, rps, sks, sps = st
         for level in levels_r[1:]:
-            rks, rps = jax.jit(functools.partial(
-                _merge_pass_level, n=nR, level=level,
-                tile_rows=tile_rows, flip=False))(rks, rps)
+            rks, rps = _jit_merge_pass_level(
+                nR, level, tile_rows, False)(rks, rps)
         for level in levels_s[1:]:
-            sks, sps = jax.jit(functools.partial(
-                _merge_pass_level, n=nS, level=level,
-                tile_rows=tile_rows, flip=True))(sks, sps)
+            sks, sps = _jit_merge_pass_level(
+                nS, level, tile_rows, True)(sks, sps)
         return rks, rps, sks, sps
 
-    @jax.jit
-    def count(rk2, sk2):
-        return mergejoin.merge_join_count(
-            rk2.reshape(-1), sk2.reshape(-1), nR, nS, tile_rows)
+    count = _jit_count(nR, nS, tile_rows)
 
     def join_phase(st):
         rks, rps, sks, sps = st

@@ -28,17 +28,26 @@ import functools
 import jax
 
 from ..types import JoinConfig, JoinResult, Relation
-from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
+from ..ops import mergejoin, multiwaymerge as mw
 from . import common
 
 NCHUNKS_DEFAULT = 4
+# the tuned m-way sort composition (PLAN round-2 re-sweep: block 512 /
+# tile 256 wins at both 16M and 128M); the count kernel's packed segscan
+# wants its own T=128 window regardless of the sort tile
+BLOCK_ROWS_MPSM = 512
+TILE_ROWS_MPSM = 256
+COUNT_TILE_ROWS = 128
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _mpsm_sort(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
                block_rows: int, tile_rows: int):
     """Phase 1+2: sort R fully, sort each S chunk locally (S runs are never
-    merged globally — MPSM's defining trade)."""
+    merged globally — MPSM's defining trade).  S chunks sort NEGATED-
+    ascending so the count kernel reads them back-to-front and negates —
+    one elementwise op instead of the 14-stage flip_flat per tile (the
+    same trick m-way uses, models/mway.py:69-78)."""
     rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin,
                               return_2d=True)
     chunk = -(-nS // nchunks)
@@ -48,19 +57,28 @@ def _mpsm_sort(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
         ln = min(chunk, nS - lo)
         if ln <= 0:
             break
-        sks, _ = mw.multiway_sort(sk[lo:lo + ln], None, ln,
+        sks, _ = mw.multiway_sort(jax.lax.neg(sk[lo:lo + ln]), None, ln,
                                   block_rows, tile_rows, fanin,
                                   return_2d=True)
         schunks.append(sks)
     return rks, schunks
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _count1(rks, sks_neg, nR: int, ln: int, tile_rows: int):
+    """One R-range × S-run fused count (module-level jit: a per-call
+    closure would re-trace on every invocation — the round-3 probe
+    measured that trace cost at ~2.3 s vs the kernel's 40 ms at 16M)."""
+    return mergejoin.merge_join_count_fused(rks, sks_neg, nR, ln,
+                                            tile_rows, s_negated=True)
+
+
 def sortmergejoin_mpsm(R: Relation, S: Relation,
                        config: JoinConfig | None = None,
                        nchunks: int = NCHUNKS_DEFAULT,
                        fanin: int = 16,
-                       block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
-                       tile_rows: int = sort_ops.TILE_ROWS_DEFAULT
+                       block_rows: int = BLOCK_ROWS_MPSM,
+                       tile_rows: int = TILE_ROWS_MPSM
                        ) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
@@ -70,16 +88,12 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
         return _mpsm_sort(R.keys, S.keys,
                           nR, nS, nchunks, fanin, block_rows, tile_rows)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def count1(rks, sks, ln):
-        return mergejoin.merge_join_count_fused(rks, sks, nR, ln, tile_rows)
-
     def join_phase(st):
         rks, schunks = st
         stats = []
         for c, sks in enumerate(schunks):
             ln = min(chunk, nS - c * chunk)
-            stats.append(count1(rks, sks, ln))
+            stats.append(_count1(rks, sks, nR, ln, COUNT_TILE_ROWS))
         return stats
 
     stats_list, timings = common.run_phases({"sort": sort_phase,

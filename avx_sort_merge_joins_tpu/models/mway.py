@@ -90,6 +90,31 @@ def _mway_materialize_device(rk, sk, sp, nR: int, nS: int, fanin: int,
     return materialize.materialize_matches(rks, nR, sks, sps, nS)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool):
+    """Cached jitted block-sort phase (a fresh per-call jit closure would
+    re-trace on every model invocation — measured ~2 s/trace at 16M)."""
+    if negate:
+        return jax.jit(lambda k: mw.sort_blocks_phase(
+            jax.lax.neg(k), None, n=n, block_rows=block_rows,
+            tile_rows=tile_rows))
+    return jax.jit(lambda k: mw.sort_blocks_phase(
+        k, None, n=n, block_rows=block_rows, tile_rows=tile_rows))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_merge_level(n: int, level, tile_rows: int):
+    return jax.jit(functools.partial(
+        mw.merge_level, n=n, level=level, tile_rows=tile_rows))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_count(nR: int, nS: int, tile_rows: int, s_negated: bool):
+    return jax.jit(functools.partial(
+        mergejoin.merge_join_count_fused, nR=nR, nS=nS,
+        tile_rows=tile_rows, s_negated=s_negated))
+
+
 def _finish_or_widen(stats, R: Relation, S: Relation) -> int:
     """Combine fused-count limbs; on the (detected) cntR·cntS ≥ 2^29 limb
     overflow, recount through the exact host oracle — slow but never wrong
@@ -175,45 +200,31 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
     # the timings are honest at the cost of one extra sync each.  The
     # partition phase has no single-chip analog (the block decomposition
     # plays its role at zero HBM cost) and reports 0.
-    blocks_r = jax.jit(functools.partial(
-        mw.sort_blocks_phase, n=nR, block_rows=block_rows,
-        tile_rows=tile_rows))
-    blocks_s = jax.jit(lambda k: mw.sort_blocks_phase(
-        jax.lax.neg(k), None, n=nS, block_rows=block_rows,
-        tile_rows=tile_rows))
+    blocks_r = _jit_blocks(nR, block_rows, tile_rows, False)
+    blocks_s = _jit_blocks(nS, block_rows, tile_rows, True)
     levels_r = mw.merge_levels(nR, block_rows, fanin)
     levels_s = mw.merge_levels(nS, block_rows, fanin)
-    count = jax.jit(functools.partial(
-        mergejoin.merge_join_count_fused, nR=nR, nS=nS,
-        tile_rows=COUNT_TILE_ROWS, s_negated=True))
+    count = _jit_count(nR, nS, COUNT_TILE_ROWS, True)
 
     def sort_phase(_):
-        rks, _ = blocks_r(R.keys, None)
+        rks, _ = blocks_r(R.keys)
         sks, _ = blocks_s(S.keys)
         return rks, sks
 
     def merge1_phase(pair):
         rks, sks = pair
         if levels_r:
-            rks, _ = jax.jit(functools.partial(
-                mw.merge_level, n=nR, level=levels_r[0],
-                tile_rows=tile_rows))(rks, None)
+            rks, _ = _jit_merge_level(nR, levels_r[0], tile_rows)(rks, None)
         if levels_s:
-            sks, _ = jax.jit(functools.partial(
-                mw.merge_level, n=nS, level=levels_s[0],
-                tile_rows=tile_rows))(sks, None)
+            sks, _ = _jit_merge_level(nS, levels_s[0], tile_rows)(sks, None)
         return rks, sks
 
     def mergerest_phase(pair):
         rks, sks = pair
         for level in levels_r[1:]:
-            rks, _ = jax.jit(functools.partial(
-                mw.merge_level, n=nR, level=level,
-                tile_rows=tile_rows))(rks, None)
+            rks, _ = _jit_merge_level(nR, level, tile_rows)(rks, None)
         for level in levels_s[1:]:
-            sks, _ = jax.jit(functools.partial(
-                mw.merge_level, n=nS, level=level,
-                tile_rows=tile_rows))(sks, None)
+            sks, _ = _jit_merge_level(nS, level, tile_rows)(sks, None)
         return rks, sks
 
     def join_phase(sorted_pair):
