@@ -19,6 +19,8 @@ from . import common
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="mergebench")
     p.add_argument("mtuples", type=float, nargs="?", default=8.0,
                    help="per-list tuples in 2^20 units")

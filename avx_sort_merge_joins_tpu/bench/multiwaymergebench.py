@@ -22,6 +22,8 @@ from . import common
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="multiwaymergebench")
     p.add_argument("chunksize", type=int, nargs="?", default=1 << 20,
                    help="tuples per sorted input run")

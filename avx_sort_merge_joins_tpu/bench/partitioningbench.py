@@ -21,6 +21,8 @@ from . import common
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="partitioningbench")
     p.add_argument("ntuples", type=int, nargs="?", default=8 * (1 << 20),
                    help="tuples (reference default 8M)")

@@ -26,6 +26,8 @@ from ..parallel.mesh import make_mesh, make_mesh2d
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="scalebench")
     p.add_argument("ntuples", type=int, nargs="?", default=1 << 22)
     p.add_argument("--devices", default=None,

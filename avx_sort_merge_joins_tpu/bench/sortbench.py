@@ -24,6 +24,8 @@ from . import common
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="sortbench")
     p.add_argument("mtuples", type=float, nargs="?", default=16.0,
                    help="tuples in 2^20 units (sortbench.c:470)")

@@ -89,6 +89,8 @@ def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="tputbench")
     p.add_argument("--mode", default="tput", choices=["tput", "numa"])
     p.add_argument("-n", "--ntuples", type=int, default=1 << 24)

@@ -329,6 +329,8 @@ def _validate(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _validate(args)
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
     if args.mapping_file:
         # device order for the mesh (cpu-mapping.txt analog)
         from .parallel import mesh as mesh_mod
