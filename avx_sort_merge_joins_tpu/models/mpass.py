@@ -64,7 +64,7 @@ def _merge_pass_level(ks, ps, n, level, tile_rows, flip):
     return ks, ps
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool):
     """Cached jitted merge pass (a fresh per-call jit closure re-traces on
     every model invocation — ~seconds of pure trace time per timed rep)."""
@@ -72,7 +72,7 @@ def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool):
         _merge_pass_level, n=n, level=level, tile_rows=tile_rows, flip=flip))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jit_count(nR: int, nS: int, tile_rows: int):
     def count(rk2, sk2):
         return mergejoin.merge_join_count(

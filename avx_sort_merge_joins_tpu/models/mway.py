@@ -90,7 +90,7 @@ def _mway_materialize_device(rk, sk, sp, nR: int, nS: int, fanin: int,
     return materialize.materialize_matches(rks, nR, sks, sps, nS)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool):
     """Cached jitted block-sort phase (a fresh per-call jit closure would
     re-trace on every model invocation — measured ~2 s/trace at 16M)."""
@@ -102,13 +102,13 @@ def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool):
         k, None, n=n, block_rows=block_rows, tile_rows=tile_rows))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jit_merge_level(n: int, level, tile_rows: int):
     return jax.jit(functools.partial(
         mw.merge_level, n=n, level=level, tile_rows=tile_rows))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _jit_count(nR: int, nS: int, tile_rows: int, s_negated: bool):
     return jax.jit(functools.partial(
         mergejoin.merge_join_count_fused, nR=nR, nS=nS,

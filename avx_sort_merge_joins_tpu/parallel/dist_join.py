@@ -80,6 +80,19 @@ def _shard_fn(rk, rp, sk, sp, nvalid_r, nvalid_s, *, n_chips: int,
     return cnt.reshape(1), overflow.reshape(1)
 
 
+@functools.lru_cache(maxsize=2)
+def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int):
+    """Cached jitted pipeline (rebuilding it per call re-traces the whole
+    distributed program on every invocation)."""
+    return jax.jit(shard_map(
+        functools.partial(_shard_fn, n_chips=n_chips, cap_r=cap_r,
+                          cap_s=cap_s),
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 6,
+        out_specs=(P(AXIS), P(AXIS)),
+    ))
+
+
 def dist_join_count(rkeys, rpayloads, skeys, spayloads, n_r: int, n_s: int,
                     mesh: Optional[Mesh] = None, slack: float = 2.0):
     """Equi-join match count of R ⋈ S distributed over ``mesh``.
@@ -109,14 +122,7 @@ def dist_join_count(rkeys, rpayloads, skeys, spayloads, n_r: int, n_s: int,
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     sharded = NamedSharding(mesh, P(AXIS))
-    fn = shard_map(
-        functools.partial(_shard_fn, n_chips=n_chips, cap_r=cap_r,
-                          cap_s=cap_s),
-        mesh=mesh,
-        in_specs=(P(AXIS),) * 6,
-        out_specs=(P(AXIS), P(AXIS)),
-    )
-    fn = jax.jit(fn)
+    fn = _count_fn(mesh, n_chips, cap_r, cap_s)
     counts, overflow = fn(
         jax.device_put(rk.reshape(n_chips, shard_r), sharded),
         jax.device_put(rp.reshape(n_chips, shard_r), sharded),

@@ -31,6 +31,8 @@ exact multiset of reference output tuples.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -54,60 +56,17 @@ from .mesh import (AXIS, HOST_AXIS, flat_axes, flat_spec, host_shape,
 LAST_RETRIES = 0
 
 
-def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
-                          n_r: int, n_s: int,
-                          mesh: Optional[Mesh] = None, slack: float = 2.0,
-                          out_slack: float = 2.0,
-                          block_rows: int = 256, tile_rows: int = 128,
-                          fanin: int = 16,
-                          use_pallas: Optional[bool] = None,
-                          stream_to: Optional[str] = None,
-                          _retries: int = 0):
-    """Materialized distributed equi-join over a chip mesh.
+@functools.lru_cache(maxsize=2)
+def _materialize_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
+                    cap_out: int, block_rows: int, tile_rows: int,
+                    fanin: int, use_pallas: bool, hier, interp: bool):
+    """Cached jitted shard_map pipeline for dist_join_materialize
+    (rebuilding it per call re-traced the whole distributed program on
+    every invocation)."""
+    from jax import shard_map
 
-    Returns ``(out_keys, out_payloads, count, overflow)``: host numpy
-    columns of all matched <S-key, S-payload> tuples (one row per match
-    pair, physical dup-R expansion), the match count, and the
-    exchange/output overflow (0 when slack sufficed; auto-retried with
-    doubled slack otherwise).
-
-    ``stream_to``: path of an Out.tbl to STREAM per-chip chunks into
-    (appended in chip order); the returned columns are then None and host
-    memory stays bounded by one chip's padded output.
-    """
-    global LAST_RETRIES
-    mesh = mesh or make_mesh()
-    if use_pallas is None:
-        use_pallas = _mesh_platform(mesh) == "tpu"
-    interp = _mesh_platform(mesh) != "tpu"
-    n_chips = int(np.prod(list(mesh.shape.values())))
-    hier = host_shape(mesh) if is_2d(mesh) else None
     axes = flat_axes(mesh)
     spec = flat_spec(mesh)
-    shard_r = -(-n_r // n_chips)
-    shard_s = -(-n_s // n_chips)
-    tile_elems = tile_rows * LANES
-
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
-
-    cap_r = cap_of(shard_r)
-    cap_s = cap_of(shard_s)
-    # static per-chip output capacity: received-S capacity × expansion slack
-    cap_out = max(128, int(np.ceil(n_chips * cap_s * out_slack / 128)) * 128)
-
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    rp = pad_to(rpayloads[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    sp = pad_to(spayloads[:n_s], shard_s * n_chips)
-    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
-    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     def exch(bflat, cap):
         if hier is not None:
@@ -159,15 +118,72 @@ def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
         return (ek.reshape(1, -1), ep.reshape(1, -1),
                 total.reshape(1), (ovr + ovs + out_ov).reshape(1))
 
-    from jax import shard_map
 
-    sharded = NamedSharding(mesh, spec)
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec,) * 6,
         out_specs=(spec,) * 4,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))
+
+
+def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
+                          n_r: int, n_s: int,
+                          mesh: Optional[Mesh] = None, slack: float = 2.0,
+                          out_slack: float = 2.0,
+                          block_rows: int = 256, tile_rows: int = 128,
+                          fanin: int = 16,
+                          use_pallas: Optional[bool] = None,
+                          stream_to: Optional[str] = None,
+                          _retries: int = 0):
+    """Materialized distributed equi-join over a chip mesh.
+
+    Returns ``(out_keys, out_payloads, count, overflow)``: host numpy
+    columns of all matched <S-key, S-payload> tuples (one row per match
+    pair, physical dup-R expansion), the match count, and the
+    exchange/output overflow (0 when slack sufficed; auto-retried with
+    doubled slack otherwise).
+
+    ``stream_to``: path of an Out.tbl to STREAM per-chip chunks into
+    (appended in chip order); the returned columns are then None and host
+    memory stays bounded by one chip's padded output.
+    """
+    global LAST_RETRIES
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    interp = _mesh_platform(mesh) != "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    spec = flat_spec(mesh)
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+
+    def cap_of(shard):
+        want = int(shard / n_chips * slack)
+        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+
+    cap_r = cap_of(shard_r)
+    cap_s = cap_of(shard_s)
+    # static per-chip output capacity: received-S capacity × expansion slack
+    cap_out = max(128, int(np.ceil(n_chips * cap_s * out_slack / 128)) * 128)
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    rp = pad_to(rpayloads[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    sp = pad_to(spayloads[:n_s], shard_s * n_chips)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
+
+    sharded = NamedSharding(mesh, spec)
+    fn = _materialize_fn(mesh, n_chips, cap_r, cap_s, cap_out, block_rows,
+                         tile_rows, fanin, use_pallas, hier, interp)
     with sort_ops.force_interpret(interp):
         ek, ep, totals, overflow = fn(
             jax.device_put(rk.reshape(n_chips, shard_r), sharded),

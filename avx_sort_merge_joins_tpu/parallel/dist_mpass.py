@@ -27,6 +27,8 @@ ping-ponged buffers (:621-708).  On TPU:
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -131,65 +133,15 @@ def _overlap_receive_merge(b2, counts, n_chips: int, cap: int,
     return acc, jnp.stack(lens2) if npairs else jnp.zeros(0, jnp.int32)
 
 
-def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
-                          mesh: Optional[Mesh] = None, slack: float = 2.0,
-                          block_rows: int = 256, tile_rows: int = 128,
-                          fanin: int = 16,
-                          use_pallas: Optional[bool] = None,
-                          overlap: bool = False):
-    """Distributed m-pass equi-join match count over a 1-D chip mesh.
-
-    Returns (count, overflow) host ints; overflow triggers an auto-retry
-    with doubled slack, mirroring dist_mway.
-
-    ``overlap=True`` replaces the fused all_to_all with ppermute rounds
-    whose arriving run pairs merge while the next round circulates (the
-    exchange/merge overlap of the reference's first NUMA-merge phase);
-    requires an even chip count and the Pallas pipeline.
-    """
-    mesh = mesh or make_mesh()
-    if use_pallas is None:
-        use_pallas = _mesh_platform(mesh) == "tpu"
-    interp = _mesh_platform(mesh) != "tpu"
-    n_chips = int(np.prod(list(mesh.shape.values())))
-    hier = host_shape(mesh) if is_2d(mesh) else None
+@functools.lru_cache(maxsize=2)
+def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
+              block_rows: int, tile_rows: int, fanin: int,
+              use_pallas: bool, overlap_ok: bool, hier, interp: bool):
+    """Cached jitted shard_map pipeline for dist_mpass_join_count
+    (rebuilding it per call re-traced the whole distributed program on
+    every invocation — it distorted every timed rep)."""
     axes = flat_axes(mesh)
     spec = flat_spec(mesh)
-    # overlap needs the Pallas merge kernel, a power-of-two chip count
-    # (after the receive-merge level there are n_chips/2 runs; every later
-    # halving level needs an even run count — non-pow2 even meshes would
-    # hit merge_pass's even-shape assertion at trace time), and a flat
-    # mesh (its ppermute rounds address the flat chip axis).  Never fall
-    # back silently: the caller is timing a specific algorithm.
-    overlap_ok = (overlap and use_pallas and n_chips > 1
-                  and (n_chips & (n_chips - 1)) == 0 and hier is None)
-    if overlap and not overlap_ok:
-        import sys
-        print("[WARN ] dist m-pass overlap=True requires the Pallas "
-              "pipeline, a power-of-two chip count, and a flat mesh "
-              f"(use_pallas={use_pallas}, n_chips={n_chips}, "
-              f"mesh_axes={mesh.axis_names}); running the "
-              "non-overlapped all_to_all path", file=sys.stderr)
-    shard_r = -(-n_r // n_chips)
-    shard_s = -(-n_s // n_chips)
-    tile_elems = tile_rows * LANES
-
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
-
-    cap_r = cap_of(shard_r)
-    cap_s = cap_of(shard_s)
-
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
-    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     def shard_fn(rk, sk, nvr, nvs):
         rk, sk = rk[0], sk[0]
@@ -260,14 +212,76 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
         stats = mergejoin.merge_join_count_fused(
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
         return stats.reshape(1, 3), (ovr + ovs).reshape(1)
-
-    sharded = NamedSharding(mesh, spec)
-    fn = jax.jit(shard_map(
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec,) * 4,
         out_specs=(spec, spec),
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))
+
+
+def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
+                          mesh: Optional[Mesh] = None, slack: float = 2.0,
+                          block_rows: int = 256, tile_rows: int = 128,
+                          fanin: int = 16,
+                          use_pallas: Optional[bool] = None,
+                          overlap: bool = False):
+    """Distributed m-pass equi-join match count over a 1-D chip mesh.
+
+    Returns (count, overflow) host ints; overflow triggers an auto-retry
+    with doubled slack, mirroring dist_mway.
+
+    ``overlap=True`` replaces the fused all_to_all with ppermute rounds
+    whose arriving run pairs merge while the next round circulates (the
+    exchange/merge overlap of the reference's first NUMA-merge phase);
+    requires an even chip count and the Pallas pipeline.
+    """
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    interp = _mesh_platform(mesh) != "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    hier = host_shape(mesh) if is_2d(mesh) else None
+    spec = flat_spec(mesh)
+    # overlap needs the Pallas merge kernel, a power-of-two chip count
+    # (after the receive-merge level there are n_chips/2 runs; every later
+    # halving level needs an even run count — non-pow2 even meshes would
+    # hit merge_pass's even-shape assertion at trace time), and a flat
+    # mesh (its ppermute rounds address the flat chip axis).  Never fall
+    # back silently: the caller is timing a specific algorithm.
+    overlap_ok = (overlap and use_pallas and n_chips > 1
+                  and (n_chips & (n_chips - 1)) == 0 and hier is None)
+    if overlap and not overlap_ok:
+        import sys
+        print("[WARN ] dist m-pass overlap=True requires the Pallas "
+              "pipeline, a power-of-two chip count, and a flat mesh "
+              f"(use_pallas={use_pallas}, n_chips={n_chips}, "
+              f"mesh_axes={mesh.axis_names}); running the "
+              "non-overlapped all_to_all path", file=sys.stderr)
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+
+    def cap_of(shard):
+        want = int(shard / n_chips * slack)
+        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+
+    cap_r = cap_of(shard_r)
+    cap_s = cap_of(shard_s)
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
+
+    fn = _count_fn(mesh, n_chips, cap_r, cap_s, block_rows, tile_rows,
+                   fanin, use_pallas, overlap_ok, hier, interp)
+    sharded = NamedSharding(mesh, spec)
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(
             jax.device_put(rk.reshape(n_chips, shard_r), sharded),

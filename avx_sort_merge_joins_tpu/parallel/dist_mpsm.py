@@ -16,6 +16,8 @@ the matching R ranges evenly.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -31,34 +33,12 @@ from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
 from .mesh import AXIS, make_mesh
 
 
-def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
-                         mesh: Optional[Mesh] = None, slack: float = 2.0,
-                         block_rows: int = 256, tile_rows: int = 128,
-                         fanin: int = 16,
-                         use_pallas: Optional[bool] = None):
-    """MPSM equi-join match count.  Returns (count, overflow) host ints."""
-    mesh = mesh or make_mesh()
-    if use_pallas is None:
-        use_pallas = _mesh_platform(mesh) == "tpu"
-    # pallas kernels interpret off-TPU regardless of pipeline choice
-    interp = _mesh_platform(mesh) != "tpu"
-    n_chips = int(np.prod(list(mesh.shape.values())))
-    shard_r = -(-n_r // n_chips)
-    shard_s = -(-n_s // n_chips)
-    tile_elems = tile_rows * LANES
-    cap_r = max(tile_elems,
-                -(-int(shard_r / n_chips * slack) // tile_elems) * tile_elems)
-
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
-    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
-
+@functools.lru_cache(maxsize=2)
+def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, block_rows: int,
+              tile_rows: int, fanin: int, use_pallas: bool, interp: bool):
+    """Cached jitted shard_map pipeline for dist_mpsm_join_count
+    (rebuilding it per call re-traced the whole distributed program on
+    every invocation — it distorted every timed rep)."""
     def shard_fn(rk, sk, nvr, nvs):
         rk, sk = rk[0], sk[0]
         nvr, nvs = nvr[0], nvs[0]
@@ -159,13 +139,46 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
         out = jnp.stack([total_hi, total_lo, total_ov]).reshape(1, 3)
         return out, ovr.reshape(1)
 
-    sharded = NamedSharding(mesh, P(AXIS))
-    fn = jax.jit(shard_map(
+
+    return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS),) * 4,
         out_specs=(P(AXIS), P(AXIS)),
         check_vma=False,
     ))
+
+
+def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
+                         mesh: Optional[Mesh] = None, slack: float = 2.0,
+                         block_rows: int = 256, tile_rows: int = 128,
+                         fanin: int = 16,
+                         use_pallas: Optional[bool] = None):
+    """MPSM equi-join match count.  Returns (count, overflow) host ints."""
+    mesh = mesh or make_mesh()
+    if use_pallas is None:
+        use_pallas = _mesh_platform(mesh) == "tpu"
+    # pallas kernels interpret off-TPU regardless of pipeline choice
+    interp = _mesh_platform(mesh) != "tpu"
+    n_chips = int(np.prod(list(mesh.shape.values())))
+    shard_r = -(-n_r // n_chips)
+    shard_s = -(-n_s // n_chips)
+    tile_elems = tile_rows * LANES
+    cap_r = max(tile_elems,
+                -(-int(shard_r / n_chips * slack) // tile_elems) * tile_elems)
+
+    def pad_to(x, total):
+        x = jnp.asarray(x, jnp.int32)
+        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
+        return out.at[: x.shape[0]].set(x)
+
+    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
+    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    nv_r = ex.valid_counts(n_r, shard_r, n_chips)
+    nv_s = ex.valid_counts(n_s, shard_s, n_chips)
+
+    sharded = NamedSharding(mesh, P(AXIS))
+    fn = _count_fn(mesh, n_chips, cap_r, block_rows, tile_rows, fanin,
+                   use_pallas, interp)
     from ..ops import sort as sort_ops
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(

@@ -26,6 +26,7 @@ capacity carries a slack factor and overflow is detected, never silent.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -347,6 +348,74 @@ def _overlap_receive_groups(b2, counts, n_chips: int, cap: int,
     return acc, jnp.stack(glens)
 
 
+@functools.lru_cache(maxsize=2)
+def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
+              block_rows: int, tile_rows: int, fanin: int,
+              use_pallas: bool, overlap_ok: bool, schedule, hier,
+              interp: bool):
+    """Cached jitted shard_map pipeline for :func:`dist_mway_join_count`.
+
+    Building this inside the public function made every call re-trace the
+    whole distributed program (seconds of host time per rep — it distorted
+    every scalebench efficiency row); the cache keys on the mesh plus all
+    static layout parameters.  ``schedule`` is a tuple (or None) so the
+    key is hashable."""
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
+    schedule = list(schedule) if schedule is not None else None
+
+    def shard_fn(rk, sk, nvr, nvs):
+        rk, sk = rk[0], sk[0]
+        nvr, nvs = nvr[0], nvs[0]
+        # phase 1+2: local sort (pads sort to the +inf end)
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
+        # exchange of contiguous sorted slices
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
+        if overlap_ok:
+            # ppermute rounds + group k-way merges as runs arrive
+            def recv(bflat, counts, cap):
+                acc, glens = _overlap_receive_groups(
+                    bflat.reshape(n_chips, cap), counts, n_chips, cap,
+                    tile_rows, fanin, ngroups=2)
+                total = jnp.sum(glens)
+                stride_g = (n_chips // 2) * (cap // LANES)
+                merged, _, _ = mw.multiway_merge(acc, None, glens, stride_g,
+                                                 2, tile_rows)
+                return merged, total
+
+            mr2, tr = recv(brk, rc, cap_r)
+            ms2, ts = recv(bsk, sc, cap_s)
+        else:
+            grk = _exchange(brk, n_chips, cap_r, schedule, hier)
+            gsk = _exchange(bsk, n_chips, cap_s, schedule, hier)
+            grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
+                jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+            gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
+                jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+            # phase 3: k-way merge of received runs
+            mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
+                                      fanin, use_pallas)
+            ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
+                                      fanin, use_pallas)
+        # phase 4: fused count over the owned key range (limbs recombined
+        # host-side in int64)
+        stats = mergejoin.merge_join_count_fused(
+            mr2, ms2, tr, ts, tile_rows, interpret=interp)
+        return stats.reshape(1, 3), (ovr + ovs).reshape(1)
+
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=(spec, spec),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    ))  # noqa: E501  (jax.shard_map, jax>=0.8)
+
+
 def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                          mesh: Optional[Mesh] = None, slack: float = 2.0,
                          block_rows: int = 256, tile_rows: int = 128,
@@ -395,7 +464,6 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
               f"(use_pallas={use_pallas}, n_chips={n_chips}, "
               f"mesh_axes={mesh.axis_names}); running the bulk "
               "all_to_all path", file=sys.stderr)
-    axes = flat_axes(mesh)
     spec = flat_spec(mesh)
     schedule = None
     if hier is not None:
@@ -440,56 +508,10 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         rk_dev = jax.device_put(rk.reshape(n_chips, shard_r), sharded)
         sk_dev = jax.device_put(sk.reshape(n_chips, shard_s), sharded)
 
-    def shard_fn(rk, sk, nvr, nvs):
-        rk, sk = rk[0], sk[0]
-        nvr, nvs = nvr[0], nvs[0]
-        # phase 1+2: local sort (pads sort to the +inf end)
-        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
-                              use_pallas)
-        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
-                              use_pallas)
-        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
-        # exchange of contiguous sorted slices
-        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
-        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        if overlap_ok:
-            # ppermute rounds + group k-way merges as runs arrive
-            def recv(bflat, counts, cap):
-                acc, glens = _overlap_receive_groups(
-                    bflat.reshape(n_chips, cap), counts, n_chips, cap,
-                    tile_rows, fanin, ngroups=2)
-                total = jnp.sum(glens)
-                stride_g = (n_chips // 2) * (cap // LANES)
-                merged, _, _ = mw.multiway_merge(acc, None, glens, stride_g,
-                                                 2, tile_rows)
-                return merged, total
-
-            mr2, tr = recv(brk, rc, cap_r)
-            ms2, ts = recv(bsk, sc, cap_s)
-        else:
-            grk = _exchange(brk, n_chips, cap_r, schedule, hier)
-            gsk = _exchange(bsk, n_chips, cap_s, schedule, hier)
-            grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
-                jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-            gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
-                jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
-            # phase 3: k-way merge of received runs
-            mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
-                                      fanin, use_pallas)
-            ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
-                                      fanin, use_pallas)
-        # phase 4: fused count over the owned key range (limbs recombined
-        # host-side in int64)
-        stats = mergejoin.merge_join_count_fused(
-            mr2, ms2, tr, ts, tile_rows, interpret=interp)
-        return stats.reshape(1, 3), (ovr + ovs).reshape(1)
-
-    fn = jax.jit(shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(spec,) * 4,
-        out_specs=(spec, spec),
-        check_vma=False,  # pallas_call outputs carry no vma annotations
-    ))  # noqa: E501  (jax.shard_map, jax>=0.8)
+    fn = _count_fn(mesh, n_chips, cap_r, cap_s, block_rows, tile_rows,
+                   fanin, use_pallas, overlap_ok,
+                   tuple(schedule) if schedule is not None else None,
+                   hier, interp)
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(
             rk_dev, sk_dev,

@@ -30,6 +30,11 @@ def enable_compile_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # the cache exists for the minutes-long Mosaic TPU compiles;
+            # CPU programs recompile in seconds and the serialization
+            # hooks add an untested variable to the CPU test path
+            return
         cache_dir = os.environ.get("SMJ_JAX_CACHE", _DEFAULT_DIR)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
