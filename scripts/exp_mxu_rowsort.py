@@ -82,6 +82,13 @@ def rowsort_mxu(k):
     return (parts[0] | parts[1] | parts[2] | parts[3]).astype(jnp.int32)
 
 
+def rowsort_mxu_chunked(k):
+    """128M-capable variant: the (rows,128,128) one-hot is 2 B/entry so
+    rows are processed in 64K-row chunks (4.3 GB transient) via lax.map."""
+    chunks = k.reshape(-1, 1 << 16, L)
+    return jax.lax.map(rowsort_mxu, chunks).reshape(k.shape)
+
+
 def main():
     n = int(float(sys.argv[1]) * (1 << 20)) if len(sys.argv) > 1 \
         else 16 * (1 << 20)
@@ -89,7 +96,8 @@ def main():
     k = jax.random.randint(jax.random.PRNGKey(2), (rows, L), -(2**30),
                            2**30, dtype=jnp.int32)
     exp = None
-    for name, fn in [("bitonic", rowsort_bitonic), ("mxu", rowsort_mxu)]:
+    mxu = rowsort_mxu if rows <= (1 << 18) else rowsort_mxu_chunked
+    for name, fn in [("bitonic", rowsort_bitonic), ("mxu", mxu)]:
         f = jax.jit(fn)
         t0 = time.perf_counter()
         out = sync(f(k))
