@@ -10,6 +10,13 @@ Modes:
   numa  — the ICI analog of numabench: all_to_all bandwidth over the device
           mesh (requires >1 device; on CPU set
           XLA_FLAGS=--xla_force_host_platform_device_count=8).
+  mpsm  — characterize MPSM's defining trade (the reference stubs mpsm,
+          src/joins/sortmergejoin_mpsm.c:38-45, so these rows are the
+          quantitative record the scripts could never produce): sweep
+          ``nchunks`` and print per-phase tput — each added S chunk is one
+          more full scan of sorted R in the join phase
+          (models/mpsm.py:91-97), so MJOIN cost grows ~linearly in nchunks
+          while the S sort shrinks sublinearly.
 """
 
 from __future__ import annotations
@@ -88,19 +95,49 @@ def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
     return 0
 
 
+def run_mpsm(n: int, chunks: list[int], reps: int) -> int:
+    from ..models import mpsm
+    from ..types import Relation
+
+    rk = jnp.arange(1, n + 1, dtype=jnp.int32)
+    sk = jnp.asarray(np.random.default_rng(9).integers(
+        1, n + 1, size=n, dtype=np.int32))
+    R = Relation(rk, jnp.zeros_like(rk), n)
+    S = Relation(sk, jnp.zeros_like(sk), n)
+    for nc in chunks:
+        best = None
+        for _ in range(max(1, reps)):
+            res = mpsm.sortmergejoin_mpsm(R, S, nchunks=nc)
+            assert res.totalresults == n, (nc, res.totalresults)
+            if best is None or res.phases["total"] < best.phases["total"]:
+                best = res
+        ph = best.phases
+        print(f"[tputbench] MPSM nchunks={nc:3d} "
+              f"SORT {ph['sort']*1e6:12.0f} usecs "
+              f"MJOIN {ph['mergejoin']*1e6:12.0f} usecs "
+              f"{2*n/ph['total']/1e6:10.1f} Mtuples/s", file=sys.stderr)
+        print(f"{nc} {ph['sort']*1e6:.0f} {ph['mergejoin']*1e6:.0f} "
+              f"{2*n} {ph['total']*1e6:.0f} {2*n/ph['total']/1e6:.2f}")
+    return 0
+
+
 def main(argv=None) -> int:
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
     p = argparse.ArgumentParser(prog="tputbench")
-    p.add_argument("--mode", default="tput", choices=["tput", "numa"])
+    p.add_argument("--mode", default="tput", choices=["tput", "numa", "mpsm"])
     p.add_argument("-n", "--ntuples", type=int, default=1 << 24)
     p.add_argument("-f", "--fanin", type=int, default=16)
     p.add_argument("-S", "--strategy", default="NEXT",
                    choices=["NEXT", "RING", "RANDOM"])
+    p.add_argument("--nchunks", type=int, nargs="+", default=[1, 2, 4, 8],
+                   help="mpsm mode: chunk counts to sweep")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args(argv)
     if args.mode == "tput":
         return run_tput(args.ntuples, args.fanin, args.reps)
+    if args.mode == "mpsm":
+        return run_mpsm(args.ntuples, args.nchunks, args.reps)
     return run_numa(args.ntuples, args.strategy, args.reps)
 
 

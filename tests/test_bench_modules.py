@@ -23,6 +23,15 @@ def test_tputbench_numa_smoke(capsys):
                            "-S", "RANDOM", "--reps", "1"]) == 0
 
 
+def test_tputbench_mpsm_smoke(capsys):
+    assert tputbench.main(["--mode", "mpsm", "-n", "8192",
+                           "--nchunks", "1", "2", "--reps", "1"]) == 0
+    cap = capsys.readouterr()
+    rows = [ln for ln in cap.out.splitlines() if ln.strip()]
+    assert len(rows) == 2  # one record row per nchunks point
+    assert all(len(r.split()) == 6 for r in rows)
+
+
 def test_scalebench_smoke(capsys):
     from avx_sort_merge_joins_tpu.bench import scalebench
     assert scalebench.main(["20000", "--devices", "1,2", "--reps", "1"]) == 0
