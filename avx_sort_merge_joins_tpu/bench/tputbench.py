@@ -66,7 +66,7 @@ def _blocks_only(keys, n, block_rows, tile_rows):
 def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
     from ..parallel.mesh import AXIS, make_mesh, shuffle_order
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = make_mesh()
     ndev = int(np.prod(list(mesh.shape.values())))

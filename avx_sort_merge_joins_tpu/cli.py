@@ -289,8 +289,8 @@ def _run_key8b(args):
         join64.key8b_join_count, nR=nR, nS=nS, fanin=args.partfanout,
         pallas_sort=pallas_sort))
     t0 = time.perf_counter()
-    _, _, cnt, ovf = fn(R.keys, S.keys)
-    cnt, ovf = int(cnt), int(ovf)
+    _, _, limbs, ovf = fn(R.keys, S.keys)
+    cnt, ovf = join64.finish_count64(limbs), int(ovf)
     dt = time.perf_counter() - t0
     if ovf:
         # detected limb-overflow segment: exact wide recount (host)
@@ -327,6 +327,18 @@ def _validate(args):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("SMJ_PLATFORM"):
+        # JAX_PLATFORMS alone can be too late on hosts whose
+        # sitecustomize imports jax (pinning a plugin backend) before the
+        # environment is consulted — force via the config API, the same
+        # way tests/conftest.py does.  SMJ_PLATFORM=cpu +
+        # XLA_FLAGS=--xla_force_host_platform_device_count=8 gives the
+        # README's simulated 8-chip mesh everywhere.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["SMJ_PLATFORM"])
     args = build_parser().parse_args(argv)
     _validate(args)
     from .utils.cache import enable_compile_cache

@@ -218,19 +218,31 @@ def create_relation_zipf(
     return Relation.from_numpy(keys, payloads, capacity)
 
 
+def _native_tblio() -> bool:
+    """True when the native .tbl writer (csrc/tblio.cc) imports and
+    reports available — probed separately from the write so I/O errors
+    in the write itself are never swallowed by a fallback."""
+    try:
+        from . import native
+
+        return bool(native.tblio_available())
+    except Exception:
+        return False
+
+
 def write_relation(rel: Relation, path: str) -> None:
     """Persist a relation as the reference's .tbl text format
     (generator.c:200-213): one "key payload" pair per line.  Uses the
     native multi-threaded writer (csrc/tblio.cc) when built."""
     keys, payloads = rel.to_numpy()
-    try:
+    # probe native availability FIRST; the write itself must never fall
+    # back silently (a partially written native file + a full text
+    # re-write would duplicate rows and mask real I/O failures)
+    if _native_tblio():
         from . import native
 
-        if native.tblio_available():
-            native.tbl_write(path, keys, payloads)
-            return
-    except Exception:
-        pass
+        native.tbl_write(path, keys, payloads)
+        return
     with open(path, "w") as f:
         for k, p in zip(keys.tolist(), payloads.tolist()):
             f.write(f"{k} {p}\n")
@@ -241,15 +253,16 @@ def append_rows(path: str, keys: np.ndarray, payloads: np.ndarray) -> None:
     primitive used by the distributed materialize path: each per-chip
     output chunk flushes sequentially, so the full join output never
     exists in host memory at once (the reference's write_relation emits
-    its whole buffer, generator.c:200-213; ours streams)."""
-    try:
+    its whole buffer, generator.c:200-213; ours streams).
+
+    Availability of the native writer is probed BEFORE writing; an
+    IOError from the write itself propagates (falling back after a
+    partial native append would duplicate the rows it already wrote)."""
+    if _native_tblio():
         from . import native
 
-        if native.tblio_available():
-            native.tbl_append(path, keys, payloads)
-            return
-    except Exception:
-        pass
+        native.tbl_append(path, keys, payloads)
+        return
     with open(path, "a") as f:
         for k, p in zip(np.asarray(keys).tolist(),
                         np.asarray(payloads).tolist()):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..types import JoinConfig, JoinResult, Relation
 from ..ops import mergejoin, sort as sort_ops
+from ..utils import cache
 from . import common
 
 
@@ -65,7 +66,8 @@ def _merge_pass_level(ks, ps, n, level, tile_rows, flip):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool):
+def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool,
+                          env: tuple = ()):
     """Cached jitted merge pass (a fresh per-call jit closure re-traces on
     every model invocation — ~seconds of pure trace time per timed rep)."""
     return jax.jit(functools.partial(
@@ -73,7 +75,7 @@ def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_count(nR: int, nS: int, tile_rows: int):
+def _jit_count(nR: int, nS: int, tile_rows: int, env: tuple = ()):
     def count(rk2, sk2):
         return mergejoin.merge_join_count(
             rk2.reshape(-1), sk2.reshape(-1), nR, nS, tile_rows)
@@ -93,6 +95,8 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
     # MERGE1 / MERGEREST / MJOIN; the partition phase has no single-chip
     # analog and reports 0) — sortmergejoin_multipass.c:170-271's
     # barrier-separated cycles
+    _env = cache.prefetch_env_key()
+
     def sort_phase(_):
         rks, rps = _block_phase(R.keys, R.payloads, nR, block_rows,
                                 tile_rows, False)
@@ -104,23 +108,23 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
         rks, rps, sks, sps = st
         if levels_r:
             rks, rps = _jit_merge_pass_level(
-                nR, levels_r[0], tile_rows, False)(rks, rps)
+                nR, levels_r[0], tile_rows, False, _env)(rks, rps)
         if levels_s:
             sks, sps = _jit_merge_pass_level(
-                nS, levels_s[0], tile_rows, True)(sks, sps)
+                nS, levels_s[0], tile_rows, True, _env)(sks, sps)
         return rks, rps, sks, sps
 
     def mergerest_phase(st):
         rks, rps, sks, sps = st
         for level in levels_r[1:]:
             rks, rps = _jit_merge_pass_level(
-                nR, level, tile_rows, False)(rks, rps)
+                nR, level, tile_rows, False, _env)(rks, rps)
         for level in levels_s[1:]:
             sks, sps = _jit_merge_pass_level(
-                nS, level, tile_rows, True)(sks, sps)
+                nS, level, tile_rows, True, _env)(sks, sps)
         return rks, rps, sks, sps
 
-    count = _jit_count(nR, nS, tile_rows)
+    count = _jit_count(nR, nS, tile_rows, _env)
 
     def join_phase(st):
         rks, rps, sks, sps = st

@@ -29,6 +29,7 @@ import jax
 
 from ..types import JoinConfig, JoinResult, Relation
 from ..ops import mergejoin, multiwaymerge as mw
+from ..utils import cache
 from . import common
 
 NCHUNKS_DEFAULT = 4
@@ -40,9 +41,9 @@ TILE_ROWS_MPSM = 256
 COUNT_TILE_ROWS = 128
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _mpsm_sort(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
-               block_rows: int, tile_rows: int):
+               block_rows: int, tile_rows: int, env: tuple = ()):
     """Phase 1+2: sort R fully, sort each S chunk locally (S runs are never
     merged globally — MPSM's defining trade).  S chunks sort NEGATED-
     ascending so the count kernel reads them back-to-front and negates —
@@ -64,8 +65,9 @@ def _mpsm_sort(rk, sk, nR: int, nS: int, nchunks: int, fanin: int,
     return rks, schunks
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _count1(rks, sks_neg, nR: int, ln: int, tile_rows: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _count1(rks, sks_neg, nR: int, ln: int, tile_rows: int,
+            env: tuple = ()):
     """One R-range × S-run fused count (module-level jit: a per-call
     closure would re-trace on every invocation — the round-3 probe
     measured that trace cost at ~2.3 s vs the kernel's 40 ms at 16M)."""
@@ -83,17 +85,20 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
     chunk = -(-nS // nchunks)
+    # jit-cache key only: a changed SMJ_*_PREFETCH flag must force a
+    # fresh trace (the kernels read the env while tracing)
+    _env = cache.prefetch_env_key()
 
     def sort_phase(_):
-        return _mpsm_sort(R.keys, S.keys,
-                          nR, nS, nchunks, fanin, block_rows, tile_rows)
+        return _mpsm_sort(R.keys, S.keys, nR, nS, nchunks, fanin,
+                          block_rows, tile_rows, _env)
 
     def join_phase(st):
         rks, schunks = st
         stats = []
         for c, sks in enumerate(schunks):
             ln = min(chunk, nS - c * chunk)
-            stats.append(_count1(rks, sks, nR, ln, COUNT_TILE_ROWS))
+            stats.append(_count1(rks, sks, nR, ln, COUNT_TILE_ROWS, _env))
         return stats
 
     stats_list, timings = common.run_phases({"sort": sort_phase,

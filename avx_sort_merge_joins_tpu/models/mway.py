@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..types import JoinConfig, JoinResult, Relation, ThreadResult
 from ..ops import materialize, mergejoin, multiwaymerge as mw
 from ..ops import sort as sort_ops
+from ..utils import cache
 from . import common
 
 FANIN_DEFAULT = 16
@@ -41,7 +42,6 @@ TILE_ROWS_MWAY = 256
 COUNT_TILE_ROWS = 128  # the count kernel's packed segscan wants T <= 16384
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
                        block_rows: int, tile_rows: int,
                        scalar_sort: bool = False,
@@ -51,6 +51,28 @@ def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
     zero-write merge-join count.  ``scalar_sort``/``scalar_merge`` swap in
     the XLA baselines (the reference's --scalarsort/--scalarmerge runs,
     main.c:727-728)."""
+    fn = _count_device_fn(nR, nS, fanin, block_rows, tile_rows,
+                          scalar_sort, scalar_merge,
+                          cache.prefetch_env_key())
+    return fn(rk, sk)
+
+
+@functools.lru_cache(maxsize=32)
+def _count_device_fn(nR: int, nS: int, fanin: int, block_rows: int,
+                     tile_rows: int, scalar_sort: bool, scalar_merge: bool,
+                     env: tuple):
+    """Jitted pipeline keyed ALSO on the prefetch env snapshot: the kernels
+    read SMJ_*_PREFETCH at trace time, so a changed flag must force a
+    fresh trace instead of silently reusing the other variant."""
+    return jax.jit(functools.partial(
+        _mway_count_impl, nR=nR, nS=nS, fanin=fanin, block_rows=block_rows,
+        tile_rows=tile_rows, scalar_sort=scalar_sort,
+        scalar_merge=scalar_merge))
+
+
+def _mway_count_impl(rk, sk, nR: int, nS: int, fanin: int,
+                     block_rows: int, tile_rows: int,
+                     scalar_sort: bool, scalar_merge: bool):
     if scalar_merge:
         rks = jax.lax.sort((rk[:nR],), num_keys=1)[0]
         sks = jax.lax.sort((sk[:nS],), num_keys=1)[0]
@@ -80,20 +102,33 @@ def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
                                             COUNT_TILE_ROWS)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _mway_materialize_device(rk, sk, sp, nR: int, nS: int, fanin: int,
                              block_rows: int, tile_rows: int):
     """Materializing m-way join: sort R keys, sort S tuples, emit matched
     S tuples (<S-key, S-RID>, joincommon.c:272-284)."""
-    rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows, fanin)
-    sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows, fanin)
-    return materialize.materialize_matches(rks, nR, sks, sps, nS)
+    return _materialize_device_fn(nR, nS, fanin, block_rows, tile_rows,
+                                  cache.prefetch_env_key())(rk, sk, sp)
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool):
+def _materialize_device_fn(nR: int, nS: int, fanin: int, block_rows: int,
+                           tile_rows: int, env: tuple):
+    def impl(rk, sk, sp):
+        rks, _ = mw.multiway_sort(rk, None, nR, block_rows, tile_rows,
+                                  fanin)
+        sks, sps = mw.multiway_sort(sk, sp, nS, block_rows, tile_rows,
+                                    fanin)
+        return materialize.materialize_matches(rks, nR, sks, sps, nS)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool,
+                env: tuple = ()):
     """Cached jitted block-sort phase (a fresh per-call jit closure would
-    re-trace on every model invocation — measured ~2 s/trace at 16M)."""
+    re-trace on every model invocation — measured ~2 s/trace at 16M).
+    ``env`` keys the cache on the trace-time SMJ_*_PREFETCH snapshot."""
     if negate:
         return jax.jit(lambda k: mw.sort_blocks_phase(
             jax.lax.neg(k), None, n=n, block_rows=block_rows,
@@ -103,13 +138,14 @@ def _jit_blocks(n: int, block_rows: int, tile_rows: int, negate: bool):
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_merge_level(n: int, level, tile_rows: int):
+def _jit_merge_level(n: int, level, tile_rows: int, env: tuple = ()):
     return jax.jit(functools.partial(
         mw.merge_level, n=n, level=level, tile_rows=tile_rows))
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_count(nR: int, nS: int, tile_rows: int, s_negated: bool):
+def _jit_count(nR: int, nS: int, tile_rows: int, s_negated: bool,
+               env: tuple = ()):
     return jax.jit(functools.partial(
         mergejoin.merge_join_count_fused, nR=nR, nS=nS,
         tile_rows=tile_rows, s_negated=s_negated))
@@ -200,11 +236,12 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
     # the timings are honest at the cost of one extra sync each.  The
     # partition phase has no single-chip analog (the block decomposition
     # plays its role at zero HBM cost) and reports 0.
-    blocks_r = _jit_blocks(nR, block_rows, tile_rows, False)
-    blocks_s = _jit_blocks(nS, block_rows, tile_rows, True)
+    _env = cache.prefetch_env_key()
+    blocks_r = _jit_blocks(nR, block_rows, tile_rows, False, _env)
+    blocks_s = _jit_blocks(nS, block_rows, tile_rows, True, _env)
     levels_r = mw.merge_levels(nR, block_rows, fanin)
     levels_s = mw.merge_levels(nS, block_rows, fanin)
-    count = _jit_count(nR, nS, COUNT_TILE_ROWS, True)
+    count = _jit_count(nR, nS, COUNT_TILE_ROWS, True, _env)
 
     def sort_phase(_):
         rks, _ = blocks_r(R.keys)
@@ -214,17 +251,17 @@ def sortmergejoin_multiway(R: Relation, S: Relation,
     def merge1_phase(pair):
         rks, sks = pair
         if levels_r:
-            rks, _ = _jit_merge_level(nR, levels_r[0], tile_rows)(rks, None)
+            rks, _ = _jit_merge_level(nR, levels_r[0], tile_rows, _env)(rks, None)
         if levels_s:
-            sks, _ = _jit_merge_level(nS, levels_s[0], tile_rows)(sks, None)
+            sks, _ = _jit_merge_level(nS, levels_s[0], tile_rows, _env)(sks, None)
         return rks, sks
 
     def mergerest_phase(pair):
         rks, sks = pair
         for level in levels_r[1:]:
-            rks, _ = _jit_merge_level(nR, level, tile_rows)(rks, None)
+            rks, _ = _jit_merge_level(nR, level, tile_rows, _env)(rks, None)
         for level in levels_s[1:]:
-            sks, _ = _jit_merge_level(nS, level, tile_rows)(sks, None)
+            sks, _ = _jit_merge_level(nS, level, tile_rows, _env)(sks, None)
         return rks, sks
 
     def join_phase(sorted_pair):

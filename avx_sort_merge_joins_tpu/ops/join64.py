@@ -68,7 +68,8 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
     ERRORS unless --scalarsort/--scalarmerge and then counts through the
     scalar merge_join, main.c:871-877).  ``pallas_sort=False`` takes the
     forced-scalar analog end to end (XLA plane sort + tag-sort count).
-    Returns (sorted_r_planes, sorted_s_planes, count_device_scalar) so
+    Returns (sorted_r_planes, sorted_s_planes, count_limbs, ovf) — combine
+    the base-2^30 limbs with :func:`finish_count64` (host, exact) — so
     callers can phase-time sort vs count."""
     from . import mergejoin
 
@@ -79,18 +80,31 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
         sh2, sl2 = sort64(shi, slo, nS, fanin, return_2d=True)
         stats = mergejoin.merge_join_count_fused64(
             rh2, rl2, sh2, sl2, nR, nS)
-        # limbs recombined on device; callers must reject ovf != 0 (a
-        # segment's cntR·cntS reached 2^29 — take the wide path)
-        cnt = (stats[0, 0] << 30) + stats[0, 1]
+        # the count comes back as base-2^30 limbs [hi, lo]: recombining
+        # on device in int32 would wrap for totals >= 2^31 even with
+        # every per-segment product < 2^29 (hi >= 2 overflows hi << 30),
+        # and x64 is disabled — combine host-side via finish_count64,
+        # exactly like finish_count_fused.  Callers must reject ovf != 0
+        limbs = stats[0, :2]
         rhi = rh2.reshape(-1)[:nR]
         rlo = rl2.reshape(-1)[:nR]
         shi = sh2.reshape(-1)[:nS]
         slo = sl2.reshape(-1)[:nS]
-        return (rhi, rlo), (shi, slo), cnt, stats[0, 2]
+        return (rhi, rlo), (shi, slo), limbs, stats[0, 2]
     rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
     shi, slo = jax.lax.sort((shi, slo), num_keys=2)
     cnt = merge_join_count_xla64(rhi, rlo, shi, slo, nR, nS)
-    return (rhi, rlo), (shi, slo), cnt, jnp.int32(0)
+    limbs = jnp.stack([cnt >> 30, cnt & jnp.int32(2**30 - 1)])
+    return (rhi, rlo), (shi, slo), limbs, jnp.int32(0)
+
+
+def finish_count64(limbs) -> int:
+    """Host-side exact combine of the base-2^30 count limbs returned by
+    :func:`key8b_join_count` (Python ints never wrap)."""
+    import numpy as np
+
+    a = np.asarray(limbs)
+    return (int(a[0]) << 30) + int(a[1])
 
 
 def merge_join_count_xla64(rhi, rlo, shi, slo, nR: int, nS: int):

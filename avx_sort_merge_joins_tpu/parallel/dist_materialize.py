@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding
 
 from ..ops import materialize as mat, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
+from ..utils import cache
 from . import exchange as ex
 from .dist_mway import (_equidepth_bounds, _local_sorted_2d,
                         _local_sorted_pair_2d, _merge_received,
@@ -59,7 +60,8 @@ LAST_RETRIES = 0
 @functools.lru_cache(maxsize=2)
 def _materialize_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
                     cap_out: int, block_rows: int, tile_rows: int,
-                    fanin: int, use_pallas: bool, hier, interp: bool):
+                    fanin: int, use_pallas: bool, hier, interp: bool,
+                    env: tuple = ()):
     """Cached jitted shard_map pipeline for dist_join_materialize
     (rebuilding it per call re-traced the whole distributed program on
     every invocation)."""
@@ -183,7 +185,8 @@ def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
 
     sharded = NamedSharding(mesh, spec)
     fn = _materialize_fn(mesh, n_chips, cap_r, cap_s, cap_out, block_rows,
-                         tile_rows, fanin, use_pallas, hier, interp)
+                         tile_rows, fanin, use_pallas, hier, interp,
+                         cache.prefetch_env_key())
     with sort_ops.force_interpret(interp):
         ek, ep, totals, overflow = fn(
             jax.device_put(rk.reshape(n_chips, shard_r), sharded),

@@ -39,8 +39,10 @@ from jax import shard_map
 
 from ..ops import mergejoin, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
+from ..utils import cache
 from . import exchange as ex
-from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
+from .dist_mway import (_equidepth_bounds, _local_sorted_2d,
+                        _mesh_platform, _slice_buckets)
 from .mesh import (AXIS, HOST_AXIS, flat_axes, flat_spec, host_shape,
                    is_2d, make_mesh)
 
@@ -136,7 +138,8 @@ def _overlap_receive_merge(b2, counts, n_chips: int, cap: int,
 @functools.lru_cache(maxsize=2)
 def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
               block_rows: int, tile_rows: int, fanin: int,
-              use_pallas: bool, overlap_ok: bool, hier, interp: bool):
+              use_pallas: bool, overlap_ok: bool, hier, interp: bool,
+              env: tuple = ()):
     """Cached jitted shard_map pipeline for dist_mpass_join_count
     (rebuilding it per call re-traced the whole distributed program on
     every invocation — it distorted every timed rep)."""
@@ -151,21 +154,9 @@ def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
                               use_pallas)
         s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
                               use_pallas)
-        # skew-aware equi-depth splitters (pooled quantiles, as dist_mway)
-        nq = 16
-        rflat, sflat = r2.reshape(-1), s2.reshape(-1)
-        qs = []
-        for j in range(nq):
-            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
-            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
-            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
-            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
-        samples = jax.lax.all_gather(jnp.concatenate(qs), axes).reshape(-1)
-        samples = jax.lax.sort((samples,), num_keys=1)[0]
-        ns = samples.shape[0]
-        bounds = [jnp.int32(-(2**31) + 1)]
-        for d in range(1, n_chips):
-            bounds.append(samples[(ns * d) // n_chips])
+        # skew-aware equi-depth splitters (the dist_mway helper — one
+        # implementation to keep in sync, incl. its 2-D-mesh axes form)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
         # exchange of contiguous sorted slices (= phase 3.1's remote pull)
         brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
         bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
@@ -280,7 +271,8 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     fn = _count_fn(mesh, n_chips, cap_r, cap_s, block_rows, tile_rows,
-                   fanin, use_pallas, overlap_ok, hier, interp)
+                   fanin, use_pallas, overlap_ok, hier, interp,
+                   cache.prefetch_env_key())
     sharded = NamedSharding(mesh, spec)
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(

@@ -28,14 +28,17 @@ from jax import shard_map
 
 from ..ops import mergejoin
 from ..ops.bitonic import KEY_POS_INF, LANES
+from ..utils import cache
 from . import exchange as ex
-from .dist_mway import _local_sorted_2d, _mesh_platform, _slice_buckets
+from .dist_mway import (_equidepth_bounds, _local_sorted_2d,
+                        _mesh_platform, _slice_buckets)
 from .mesh import AXIS, make_mesh
 
 
 @functools.lru_cache(maxsize=2)
 def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, block_rows: int,
-              tile_rows: int, fanin: int, use_pallas: bool, interp: bool):
+              tile_rows: int, fanin: int, use_pallas: bool, interp: bool,
+              env: tuple = ()):
     """Cached jitted shard_map pipeline for dist_mpsm_join_count
     (rebuilding it per call re-traced the whole distributed program on
     every invocation — it distorted every timed rep)."""
@@ -47,21 +50,10 @@ def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, block_rows: int,
                               use_pallas)
         s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
                               use_pallas)
-        # skew-aware equi-depth splitters (pooled quantiles of R and S)
-        nq = 16
-        rflat, sflat = r2.reshape(-1), s2.reshape(-1)
-        qs = []
-        for j in range(nq):
-            pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
-            pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
-            qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
-            qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
-        samples = jax.lax.all_gather(jnp.concatenate(qs), AXIS).reshape(-1)
-        samples = jax.lax.sort((samples,), num_keys=1)[0]
-        ns_ = samples.shape[0]
-        bounds = [jnp.int32(-(2**31) + 1)]
-        for d in range(1, n_chips):
-            bounds.append(samples[(ns_ * d) // n_chips])
+        # skew-aware equi-depth splitters (the dist_mway helper — one
+        # implementation to keep in sync; mpsm meshes are flat, so the
+        # default AXIS collective spec applies)
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips)
         me = jax.lax.axis_index(AXIS)
         # chip d owns keys in [bounds[d], bounds[d+1]) — upper EXCLUSIVE to
         # match _slice_buckets' R ranges exactly (last chip unbounded)
@@ -178,7 +170,7 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
 
     sharded = NamedSharding(mesh, P(AXIS))
     fn = _count_fn(mesh, n_chips, cap_r, block_rows, tile_rows, fanin,
-                   use_pallas, interp)
+                   use_pallas, interp, cache.prefetch_env_key())
     from ..ops import sort as sort_ops
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(

@@ -37,6 +37,7 @@ from jax import shard_map
 
 from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
+from ..utils import cache  # noqa: E402
 from ..types import NumaStrategy
 from .exchange import exchange_hier, valid_counts as exchange_valid_counts
 from .mesh import (AXIS, HOST_AXIS, chips_per_host_of, flat_axes, flat_spec,
@@ -352,7 +353,7 @@ def _overlap_receive_groups(b2, counts, n_chips: int, cap: int,
 def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
               block_rows: int, tile_rows: int, fanin: int,
               use_pallas: bool, overlap_ok: bool, schedule, hier,
-              interp: bool):
+              interp: bool, env: tuple = ()):
     """Cached jitted shard_map pipeline for :func:`dist_mway_join_count`.
 
     Building this inside the public function made every call re-trace the
@@ -445,7 +446,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     flight (the reference's merge-through-remote-reads,
     sortmergejoin_multiway.c:494-518), at the cost of one extra k-way
     pass (groups → final).  Requires a flat mesh, the Pallas pipeline,
-    and an even chip count >= 4; falls back LOUDLY otherwise.
+    and a power-of-two chip count >= 4; falls back LOUDLY otherwise.
     """
     import sys
 
@@ -456,11 +457,16 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     interp = _mesh_platform(mesh) != "tpu"
     n_chips = int(np.prod(list(mesh.shape.values())))
     hier = host_shape(mesh) if is_2d(mesh) else None
+    # power-of-two required: the group k-way merges pick fanin
+    # min(16, per_group) and multiway_merge asserts pow2 fanin with
+    # fanin-divisible run counts — an even-but-non-pow2 mesh (6, 10, 12
+    # chips) would crash at trace time instead of falling back
     overlap_ok = (overlap and use_pallas and hier is None
-                  and n_chips >= 4 and n_chips % 2 == 0)
+                  and n_chips >= 4
+                  and (n_chips & (n_chips - 1)) == 0)
     if overlap and not overlap_ok:
         print("[WARN ] dist m-way overlap=True requires the Pallas "
-              "pipeline, a flat mesh, and an even chip count >= 4 "
+              "pipeline, a flat mesh, and a power-of-two chip count >= 4 "
               f"(use_pallas={use_pallas}, n_chips={n_chips}, "
               f"mesh_axes={mesh.axis_names}); running the bulk "
               "all_to_all path", file=sys.stderr)
@@ -511,7 +517,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     fn = _count_fn(mesh, n_chips, cap_r, cap_s, block_rows, tile_rows,
                    fanin, use_pallas, overlap_ok,
                    tuple(schedule) if schedule is not None else None,
-                   hier, interp)
+                   hier, interp, cache.prefetch_env_key())
     with sort_ops.force_interpret(interp):
         stats, overflow = fn(
             rk_dev, sk_dev,

@@ -18,6 +18,18 @@ _DEFAULT_DIR = os.path.join(
     ".jax_cache")
 
 
+def prefetch_env_key() -> tuple:
+    """Snapshot of the trace-time perf knobs (SMJ_COUNT_PREFETCH,
+    SMJ_LEAF_PREFETCH).
+
+    The kernels read these env vars while TRACING; any lru/jit cache
+    around a traced pipeline must include this snapshot in its key, or an
+    in-process toggle (the A/B scripts' usage) silently reuses the other
+    variant's executable and mislabels the measurement."""
+    return (os.environ.get("SMJ_COUNT_PREFETCH", "1"),
+            os.environ.get("SMJ_LEAF_PREFETCH", "1"))
+
+
 def enable_compile_cache() -> None:
     """Point JAX at the persistent on-disk compilation cache.
 

@@ -337,6 +337,24 @@ def test_dist_mway_overlap_falls_back_loudly(rng, capsys):
     assert "overlap=True requires" in capsys.readouterr().err
 
 
+def test_dist_mway_overlap_nonpow2_falls_back_loudly(rng, capsys):
+    """overlap=True on an even-but-non-power-of-two mesh (6 chips) must
+    warn and run the bulk path: the overlap group merges pick fanin
+    min(16, per_group) and the k-way kernel requires pow2 fanin, so 6
+    chips (per_group=3) would crash at trace time without the gate."""
+    from avx_sort_merge_joins_tpu.parallel import dist_mway
+    from avx_sort_merge_joins_tpu.parallel.mesh import make_mesh
+
+    nR, nS = 24_000, 36_000
+    rk, sk = _workload(rng, nR, nS)
+    mesh = make_mesh(6)
+    cnt, ov = dist_mway.dist_mway_join_count(
+        rk, sk, nR, nS, mesh=mesh, use_pallas=True, overlap=True)
+    assert ov == 0
+    assert cnt == merge_join_count_numpy(rk, sk)
+    assert "overlap=True requires" in capsys.readouterr().err
+
+
 def test_dist_mpass_overlap_nonpow2_falls_back_loudly(rng, capsys):
     """overlap=True on a non-power-of-two mesh (6 chips) must warn and run
     the all_to_all path (non-pow2 even meshes would crash the overlap

@@ -47,10 +47,10 @@ def test_key8b_join_count_end_to_end(rng):
     nR, nS = 30000, 45000
     rk = rng.integers(1, 8000, nR).astype(np.int32)
     sk = rng.integers(1, 8000, nS).astype(np.int32)
-    (rhi, rlo), _, cnt, ovf = join64.key8b_join_count(
+    (rhi, rlo), _, limbs, ovf = join64.key8b_join_count(
         jnp.asarray(rk), jnp.asarray(sk), nR, nS)
     assert int(ovf) == 0
-    assert int(cnt) == join64.merge_join_count_numpy64(
+    assert join64.finish_count64(limbs) == join64.merge_join_count_numpy64(
         rk.astype(np.int64), sk.astype(np.int64))
     # the sorted planes really are the Pallas sort's output
     got = join64.join64(np.asarray(rhi), np.asarray(rlo))
@@ -61,10 +61,10 @@ def test_key8b_scalar_sort_path(rng):
     nR, nS = 10000, 15000
     rk = rng.permutation(np.arange(1, nR + 1)).astype(np.int32)
     sk = rng.integers(1, nR + 1, nS).astype(np.int32)
-    _, _, cnt, ovf = join64.key8b_join_count(
+    _, _, limbs, ovf = join64.key8b_join_count(
         jnp.asarray(rk), jnp.asarray(sk), nR, nS, pallas_sort=False)
     assert int(ovf) == 0
-    assert int(cnt) == nS
+    assert join64.finish_count64(limbs) == nS
 
 
 def test_fused64_wide_keys_vs_oracle(rng):
@@ -107,3 +107,10 @@ def test_count64_vs_oracle(rng):
         jnp.asarray(rhi), jnp.asarray(rlo),
         jnp.asarray(shi), jnp.asarray(slo), nR, nS))
     assert got == join64.merge_join_count_numpy64(rk, sk)
+
+
+def test_finish_count64_no_int32_wrap():
+    """Counts >= 2^31 must combine exactly: hi=3 would wrap (hi << 30) in
+    device int32 (the bug this helper replaces) — host Python ints don't."""
+    assert join64.finish_count64(np.array([3, 7], np.int32)) == 3 * 2**30 + 7
+    assert join64.finish_count64(np.array([8, 0], np.int32)) == 2**33
