@@ -38,7 +38,7 @@ NCHUNKS_DEFAULT = 4
 # wants its own T=128 window regardless of the sort tile
 BLOCK_ROWS_MPSM = 512
 TILE_ROWS_MPSM = 256
-COUNT_TILE_ROWS = 128
+COUNT_TILE_ROWS = 256  # V2 tile re-sweep: 256 wins (see models/mway.py)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))

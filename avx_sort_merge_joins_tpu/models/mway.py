@@ -39,7 +39,11 @@ FANIN_DEFAULT = 16
 # tiles stay 32K (the (512,128)-row networks spill vregs).
 BLOCK_ROWS_MWAY = 512
 TILE_ROWS_MWAY = 256
-COUNT_TILE_ROWS = 128  # the count kernel's packed segscan wants T <= 16384
+# count-kernel V2 tile re-sweep (v5e, same-session, negated-S + prefetch):
+# 128M 89.4/84.1/85.7 ms and 16M 33.7/31.9 ms for T=128/256/512 — 256 wins
+# at both sizes (the old kernel preferred 128; V2's hierarchical segscan
+# amortizes better over taller tiles)
+COUNT_TILE_ROWS = 256
 
 
 def _mway_count_device(rk, sk, nR: int, nS: int, fanin: int,
