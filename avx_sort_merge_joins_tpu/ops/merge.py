@@ -27,22 +27,10 @@ def merge_tuples(ka, pa, kb, pb, na: int | None = None,
     na = int(ka.shape[0]) if na is None else na
     nb = int(kb.shape[0]) if nb is None else nb
     keys_only = pa is None
-    stride = ((max(na, nb) // LANES + tile_rows) // tile_rows + 1) * tile_rows
-    rows = 2 * stride + tile_rows + 8
-    cap = rows * LANES
-    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
-    kf = kf.at[:na].set(ka[:na])
-    kf = kf.at[stride * LANES:stride * LANES + nb].set(kb[:nb])
-    if keys_only:
-        pf = None
-    else:
-        pf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
-        pf = pf.at[:na].set(pa[:na])
-        pf = pf.at[stride * LANES:stride * LANES + nb].set(pb[:nb])
-    ok, op, _ = mw.multiway_merge(
-        kf.reshape(rows, LANES),
-        None if keys_only else pf.reshape(rows, LANES),
-        [na, nb], stride, 2, tile_rows)
+    kf, pf, stride = sort_ops.two_run_layout(
+        ka, kb, na, nb, tile_rows, rounded_stride=True, pa=pa, pb=pb,
+        payload_fill=KEY_POS_INF)
+    ok, op, _ = mw.multiway_merge(kf, pf, [na, nb], stride, 2, tile_rows)
     n = na + nb
     if keys_only:
         return ok.reshape(-1)[:n], None

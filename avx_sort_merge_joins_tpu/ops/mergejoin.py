@@ -40,22 +40,10 @@ def _tag_merge(rk, sk_desc, nR: int, nS: int, tile_rows: int, r_flag: int, s_fla
     """Merge R keys (ascending) with S keys (descending layout) where the
     source flag rides in the payload slot and breaks ties.  Returns merged
     (keys, flags) as a flat 2D array of ceil((nR+nS)/T)*T elements."""
-    rows_r = sort_ops.cdiv(nR, LANES)
-    rows_s = sort_ops.cdiv(nS, LANES)
-    stride = max(rows_r, rows_s) + tile_rows  # region stride in rows, +spare
-    cap_rows = 2 * stride + tile_rows + 8
-    cap = cap_rows * LANES
-    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
-    pf = jnp.zeros((cap,), jnp.int32)
-    kf = kf.at[:nR].set(rk[:nR])
-    pf = pf.at[:nR].set(jnp.int32(r_flag))
-    s0 = stride * LANES
-    kf = kf.at[s0 : s0 + nS].set(sk_desc[:nS])
-    pf = pf.at[s0 : s0 + nS].set(jnp.int32(s_flag))
-    ok, of, _ = sort_ops.merge_pass(
-        kf.reshape(cap_rows, LANES), pf.reshape(cap_rows, LANES),
-        [nR, nS], stride, tile_rows
-    )
+    kf, pf, stride = sort_ops.two_run_layout(
+        rk, sk_desc, nR, nS, tile_rows, rounded_stride=False,
+        pa=jnp.int32(r_flag), pb=jnp.int32(s_flag))
+    ok, of, _ = sort_ops.merge_pass(kf, pf, [nR, nS], stride, tile_rows)
     return ok, of
 
 
@@ -116,21 +104,10 @@ def _tag_merge_mw(rk, sk, nR: int, nS: int, tile_rows: int, r_flag: int,
     break ties."""
     from . import multiwaymerge as mw
 
-    rows_r = sort_ops.cdiv(nR, LANES)
-    rows_s = sort_ops.cdiv(nS, LANES)
-    stride = ((max(rows_r, rows_s) + tile_rows) // tile_rows + 1) * tile_rows
-    cap_rows = 2 * stride + tile_rows + 8
-    cap = cap_rows * LANES
-    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
-    pf = jnp.zeros((cap,), jnp.int32)
-    kf = kf.at[:nR].set(rk[:nR])
-    pf = pf.at[:nR].set(jnp.int32(r_flag))
-    s0 = stride * LANES
-    kf = kf.at[s0:s0 + nS].set(sk[:nS])
-    pf = pf.at[s0:s0 + nS].set(jnp.int32(s_flag))
-    ok, of, _ = mw.multiway_merge(
-        kf.reshape(cap_rows, LANES), pf.reshape(cap_rows, LANES),
-        [nR, nS], stride, 2, tile_rows)
+    kf, pf, stride = sort_ops.two_run_layout(
+        rk, sk, nR, nS, tile_rows, rounded_stride=True,
+        pa=jnp.int32(r_flag), pb=jnp.int32(s_flag))
+    ok, of, _ = mw.multiway_merge(kf, pf, [nR, nS], stride, 2, tile_rows)
     return ok, of
 
 
@@ -221,7 +198,7 @@ def _segmented_counts(keys, flags, carry_key, r_open, s_open,
     open_seg = f == 0
     c0 = v0 + jnp.where(open_seg, r_open, 0)
     c1 = v1 + jnp.where(open_seg, s_open, 0)
-    return c0, c1, f
+    return c0, c1, f, b
 
 
 def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
@@ -327,13 +304,14 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
         inc_b = jnp.sum((mf == 1).astype(jnp.int32))
         inc_out = jnp.minimum(jnp.int32(T), total - t * T)
 
-        c0, c1, f = _segmented_counts(mk, mf, carry_key, r_open, s_open)
-        prev = bitonic.shift_right_flat(mk, 1)
-        b0 = jnp.sum(jnp.where(fidx == 0,
-                               (mk != carry_key).astype(jnp.int32), 0))
+        # the scan already derived the boundary vector b (b[0] compares
+        # against carry_key) — reuse it instead of recomputing the
+        # shift+compare per tile
+        c0, c1, f, b = _segmented_counts(mk, mf, carry_key, r_open, s_open)
+        b0 = jnp.sum(jnp.where(fidx == 0, b, 0))
         # a segment closes at i when position i+1 starts a new key;
         # the last position closes in a later tile (or at stream end)
-        bnext = bitonic.shift_flat((mk != prev).astype(jnp.int32), 1)
+        bnext = bitonic.shift_flat(b, 1)
         bnext = jnp.where(fidx == T - 1, 0, bnext)
         closes = jnp.sum(bnext * c0 * c1)
         # limb-safety check at segment close: products are exact in int32
@@ -520,8 +498,25 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
                        jnp.int32)
         return jnp.concatenate([x, pad], axis=0)
 
-    rk2d = ensure_min_rows(rk2d)
-    sk2d = ensure_min_rows(sk2d)
+    def ensure_spare(x, n):
+        # the end-clamped window DMA (issue()) keeps the in-buffer offset
+        # <= tile_rows only when the layout has >= tile_rows+8 rows past
+        # the live data; the sort compositions guarantee that for THEIR
+        # tile_rows, which may be smaller than the count tile (e.g. the
+        # low-mwaybufsize sort tile 128 vs COUNT_TILE_ROWS 256) — then
+        # the clamped window would read past the VMEM scratch and merge
+        # garbage.  Pad when the static shape cannot prove the spare
+        # (values are masked by the avail counts; any sentinel works).
+        need = tile_rows + 8
+        if isinstance(n, (int, np.integer)):
+            live = -(-int(n) // LANES)
+            if x.shape[0] - live >= need:
+                return x
+        pad = jnp.full((need, LANES), KEY_POS_INF, jnp.int32)
+        return jnp.concatenate([x, pad], axis=0)
+
+    rk2d = ensure_min_rows(ensure_spare(rk2d, nR))
+    sk2d = ensure_min_rows(ensure_spare(sk2d, nS))
     if s_negated:
         # front guard of exactly T elements so the backward cursor's
         # physical window start nS - eb never goes negative (values are
@@ -621,7 +616,7 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
         b = jnp.where(fidx == 0,
                       ((mhi != ck_hi) | (mlo != ck_lo)).astype(jnp.int32),
                       neq)
-        c0, c1_, f = _segmented_counts(mhi, mf, jnp.int32(0), r_open,
+        c0, c1_, f, _b = _segmented_counts(mhi, mf, jnp.int32(0), r_open,
                                        s_open, boundary=b)
         b0 = jnp.sum(jnp.where(fidx == 0, b, 0))
         bnext = bitonic.shift_flat(neq, 1)
@@ -680,6 +675,25 @@ def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
     lens_arr = jnp.stack([jnp.asarray(nR, jnp.int32),
                           jnp.asarray(nS, jnp.int32)])
     w8 = tile_rows + 8
+
+    def ensure_spare(x, n):
+        # the single-buffered window load clamps its DMA start to
+        # shape - w8 but derives the lane skip from the UNCLAMPED cursor,
+        # so an engaged clamp would misalign the window by whole rows —
+        # guarantee >= tile_rows+8 spare rows past the live data (the
+        # same invariant as merge_join_count_fused) so the clamp never
+        # engages; pad when the static shape cannot prove it
+        if isinstance(n, (int, np.integer)):
+            live = -(-int(n) // LANES)
+            if x.shape[0] - live >= w8:
+                return x
+        pad = jnp.full((w8, LANES), KEY_POS_INF, jnp.int32)
+        return jnp.concatenate([x, pad], axis=0)
+
+    rhi2d = ensure_spare(rhi2d, nR)
+    rlo2d = ensure_spare(rlo2d, nR)
+    shi2d = ensure_spare(shi2d, nS)
+    slo2d = ensure_spare(slo2d, nS)
     win = pltpu.VMEM((w8, LANES), jnp.int32)
     return pl.pallas_call(
         ft.partial(_count_kernel64, tile_rows=tile_rows),

@@ -307,7 +307,9 @@ def _mwaymerge_kernel(
                 o1.wait()
         else:
             slot = jnp.remainder(produced[m] // T, FIFO_TILES)
-            row = slot * tile_rows
+            # tile-aligned dynamic start: without the multiple_of hint
+            # Mosaic emits full realignment code on this per-fire store
+            row = pl.multiple_of(slot * tile_rows, tile_rows)
             fk[m, pl.ds(row, tile_rows), :] = mk
             if not keys_only:
                 fp[m, pl.ds(row, tile_rows), :] = mp

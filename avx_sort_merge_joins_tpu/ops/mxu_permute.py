@@ -67,18 +67,22 @@ def onehot_hist(pid, fanout: int):
             preferred_element_type=jnp.float32)
 
     if n <= _EXACT_CHUNK:
-        acc = chunk_hist(flat)
+        acc = chunk_hist(flat).astype(jnp.int32)
     else:
         pad = (-n) % _EXACT_CHUNK
         flat = jnp.concatenate(
             [flat, jnp.full((pad,), fanout, jnp.int32)])  # never matches
         chunks = flat.reshape(-1, _EXACT_CHUNK)
 
+        # the running accumulator must be int32: each CHUNK's f32 counts
+        # are exact (< 2^22), but a bucket's running f32 SUM silently
+        # loses integers past 2^24 (f32 ulp > 1) — summing in f32 gave
+        # hist[7] = 2^24+20 instead of 2^24+21 on a constant stream
         def body(acc, c):
-            return acc + chunk_hist(c), None
+            return acc + chunk_hist(c).astype(jnp.int32), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((h, w), jnp.float32), chunks)
-    return acc.astype(jnp.int32).reshape(fanout)
+        acc, _ = jax.lax.scan(body, jnp.zeros((h, w), jnp.int32), chunks)
+    return acc.reshape(fanout)
 
 
 def permute_lanes(x, idx):

@@ -489,3 +489,37 @@ def sort_xla(keys, payloads):
     """Baseline via XLA's comparison sort — the 'scalarsort' analog
     (reference: src/scalarsort/scalarsort.c)."""
     return jax.lax.sort((keys, payloads), num_keys=2)
+
+
+def two_run_layout(ka, kb, na: int, nb: int, tile_rows: int,
+                   rounded_stride: bool, pa=None, pb=None,
+                   payload_fill: int = 0):
+    """Build the padded two-run (rows, 128) layout shared by the 2-way
+    merge entry points: run A at row 0, run B at ``stride`` rows, +inf
+    key sentinels everywhere else, ``tile_rows + 8`` spare rows at the
+    end (the merge kernels' window-overreach contract, see padded_rows).
+
+    ``rounded_stride`` rounds the stride up to a tile multiple (required
+    by the FIFO-tree kernel's stride % tile_rows == 0 invariant; the
+    streaming merge_pass kernel takes any stride).  ``pa``/``pb`` fill a
+    payload plane (arrays, or scalars for flag tagging); None for
+    keys-only.  Returns (keys2d, payloads2d_or_None, stride_rows).
+    """
+    from .bitonic import KEY_POS_INF, LANES
+
+    stride = max(cdiv(na, LANES), cdiv(nb, LANES)) + tile_rows
+    if rounded_stride:
+        stride = (stride // tile_rows + 1) * tile_rows
+    cap_rows = 2 * stride + tile_rows + 8
+    cap = cap_rows * LANES
+    kf = jnp.full((cap,), KEY_POS_INF, jnp.int32)
+    kf = kf.at[:na].set(ka[:na])
+    s0 = stride * LANES
+    kf = kf.at[s0:s0 + nb].set(kb[:nb])
+    pf = None
+    if pa is not None:
+        pf = jnp.full((cap,), payload_fill, jnp.int32)
+        pf = pf.at[:na].set(pa if jnp.ndim(pa) == 0 else pa[:na])
+        pf = pf.at[s0:s0 + nb].set(pb if jnp.ndim(pb) == 0 else pb[:nb])
+        pf = pf.reshape(cap_rows, LANES)
+    return kf.reshape(cap_rows, LANES), pf, stride

@@ -104,3 +104,45 @@ def test_mway_model_overflow_fallback():
     Sr = Relation.from_numpy(np.full(n, 7, np.int32))
     res = sortmergejoin_multiway(R, Sr, block_rows=128, tile_rows=128)
     assert res.totalresults == n * n
+
+
+def test_fused_count_tile_larger_than_layout_spare(rng):
+    """Count tile 256 over layouts built with only tile-128 spare (the
+    low-mwaybufsize m-way combination): the wrapper must pad the missing
+    spare rows — without it the end-clamped window DMA reads past the
+    VMEM scratch and merges garbage."""
+    n = 80000  # big enough that ensure_min_rows alone cannot mask the
+    # missing spare (live rows must exceed WIN - spare = 384)
+    rk = np.sort(rng.integers(1, 30000, n).astype(np.int32))
+    sk = np.sort(rng.integers(1, 30000, n).astype(np.int32))
+    expected = MJ.merge_join_count_numpy(rk, sk)
+    stats = MJ.merge_join_count_fused(_fused_layout(rk, 128),
+                                      _fused_layout(sk, 128), n, n, 256)
+    assert MJ.finish_count_fused(stats) == expected
+
+
+def test_fused64_count_tile_larger_than_layout_spare(rng):
+    """Same spare-vs-tile mismatch through the KEY_8B plane kernel: its
+    single-buffered window load derives the lane skip from the unclamped
+    cursor, so an engaged clamp misaligns whole rows unless the wrapper
+    guarantees the spare."""
+    from avx_sort_merge_joins_tpu.ops import join64
+
+    nR, nS = 20000, 30000
+    rk = rng.integers(1, 8000, nR).astype(np.int32)
+    sk = rng.integers(1, 8000, nS).astype(np.int32)
+    (rh, rl), (sh, sl) = (join64.split64(np.sort(rk.astype(np.int64))),
+                          join64.split64(np.sort(sk.astype(np.int64))))
+
+    def layout(plane, tile_rows):
+        m = len(plane)
+        rows = -(-m // 128) + tile_rows + 8
+        f = np.full(rows * 128, 2**31 - 1, np.int32)
+        f[:m] = plane
+        return jnp.asarray(f.reshape(rows, 128))
+
+    stats = MJ.merge_join_count_fused64(
+        layout(rh, 128), layout(rl, 128), layout(sh, 128), layout(sl, 128),
+        nR, nS, tile_rows=256)
+    assert MJ.finish_count_fused(stats) == MJ.merge_join_count_numpy(
+        np.sort(rk), np.sort(sk))

@@ -81,3 +81,15 @@ def test_permute_lanes_gather_dups(rng):
     got = np.asarray(mx.permute_lanes(jnp.asarray(x), jnp.asarray(idx)))
     exp = np.take_along_axis(x, idx, axis=1)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_onehot_hist_exact_past_f32_integer_range():
+    """A single bucket past 2^24 counts: the cross-chunk accumulator must
+    be int32 — a float32 running sum silently loses integers there (f32
+    ulp > 1), which broke the module's 'all paths bit-exact' contract."""
+    import jax.numpy as jnp
+
+    n = (1 << 24) + 21
+    h = mx.onehot_hist(jnp.full((n,), 7, jnp.int32), 256)
+    assert int(h[7]) == n
+    assert int(h.sum()) == n
