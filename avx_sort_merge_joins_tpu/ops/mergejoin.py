@@ -724,9 +724,16 @@ def finish_count_fused(out) -> int:
     return (int(flat[0]) << 30) + int(flat[1])
 
 
-def merge_join_count_xla(rk_sorted, sk_sorted, nR: int, nS: int) -> jnp.ndarray:
+def merge_join_count_xla(rk_sorted, sk_sorted, nR: int, nS: int,
+                         return_f32_estimate: bool = False):
     """Oracle counter via one XLA sort of tagged keys + cumsum (exact for
-    matches < 2^31).  Used in tests and as the 'scalar merge join'."""
+    matches < 2^31).  Used in tests and as the 'scalar merge join'.
+
+    ``return_f32_estimate`` additionally returns a float32 magnitude
+    estimate of the true count: the int32 result wraps silently at 2^31,
+    and the intermediate modular arithmetic makes the wrap undetectable
+    from the int32 value alone — callers compare the estimate against a
+    conservative threshold and fall back to an exact wide counter."""
     keys = jnp.concatenate([rk_sorted[:nR], sk_sorted[:nS]])
     flags = jnp.concatenate(
         [jnp.zeros(nR, jnp.int32), jnp.ones(nS, jnp.int32)]
@@ -743,6 +750,13 @@ def merge_join_count_xla(rk_sorted, sk_sorted, nR: int, nS: int) -> jnp.ndarray:
     r_mask = mf2 == 1
     s_prefix2 = jnp.cumsum(1 - mf2)
     le_counts = jnp.sum(jnp.where(r_mask, s_prefix2, 0))
+    if return_f32_estimate:
+        # per-position prefixes are < 2^31 (no wrap); only their int32
+        # SUMS wrap — the f32 sums don't, and their relative error
+        # (~n·eps) is far below the detection margin
+        lt_f = jnp.sum(jnp.where(mf == 0, s_prefix, 0).astype(jnp.float32))
+        le_f = jnp.sum(jnp.where(r_mask, s_prefix2, 0).astype(jnp.float32))
+        return le_counts - lt_counts, le_f - lt_f
     return le_counts - lt_counts
 
 

@@ -36,15 +36,24 @@ from jax import shard_map
 
 from ..ops import mergejoin
 from . import exchange as ex
-from .mesh import AXIS, make_mesh
+from .mesh import AXIS, is_2d, make_mesh
+
+
+# per-chip counts whose f32 magnitude estimate reaches this flag a
+# potential int32 wrap (true wrap at 2^31; the margin dwarfs f32 error)
+_WRAP_GUARD = 2.0e9
 
 
 def _local_join_count_xla(rk, sk):
     """Count equi-matches between two padded local columns via the XLA
-    tag-sort counter (pads never match by construction)."""
+    tag-sort counter (pads never match by construction).  Returns
+    (int32 count, wrap flag) — the count silently wraps at 2^31, so the
+    flag (from the f32 magnitude estimate) must be checked."""
     n = rk.shape[0]
     m = sk.shape[0]
-    return mergejoin.merge_join_count_xla(rk, sk, n, m)
+    cnt, est = mergejoin.merge_join_count_xla(rk, sk, n, m,
+                                              return_f32_estimate=True)
+    return cnt, (est >= _WRAP_GUARD).astype(jnp.int32)
 
 
 def _shard_fn(rk, rp, sk, sp, nvalid_r, nvalid_s, *, n_chips: int,
@@ -75,9 +84,9 @@ def _shard_fn(rk, rp, sk, sp, nvalid_r, nvalid_s, *, n_chips: int,
     grk, grp, _ = ex.exchange(brk, brp, rc, AXIS, n_chips, cap_r)
     gsk, gsp, _ = ex.exchange(bsk, bsp, sc, AXIS, n_chips, cap_s)
     # 4. local count over the owned key range
-    cnt = _local_join_count_xla(grk, gsk)
+    cnt, wrap = _local_join_count_xla(grk, gsk)
     overflow = ovr + ovs
-    return cnt.reshape(1), overflow.reshape(1)
+    return cnt.reshape(1), overflow.reshape(1), wrap.reshape(1)
 
 
 @functools.lru_cache(maxsize=2)
@@ -89,7 +98,7 @@ def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int):
                           cap_s=cap_s),
         mesh=mesh,
         in_specs=(P(AXIS),) * 6,
-        out_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     ))
 
 
@@ -102,28 +111,28 @@ def dist_join_count(rkeys, rpayloads, skeys, spayloads, n_r: int, n_s: int,
     ``overflow`` must be 0 for the count to be exact (raise slack otherwise).
     """
     mesh = mesh or make_mesh()
+    if is_2d(mesh):
+        raise ValueError(
+            "dist_join_count requires a flat mesh; the range exchange "
+            "addresses only the chip axis — use dist_mway_join_count for "
+            "2-D ('host','chip') meshes")
     n_chips = int(np.prod(list(mesh.shape.values())))
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     # per-destination bucket capacity, aligned up for collective friendliness
-    cap_r = max(128, int(np.ceil(shard_r / n_chips * slack / 128)) * 128)
-    cap_s = max(128, int(np.ceil(shard_s / n_chips * slack / 128)) * 128)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, 128)
+    cap_s = ex.bucket_cap(shard_s, n_chips, slack, 128)
 
-    def pad_to(x, total, fill):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), fill, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips, ex.R_PAD_KEY)
-    rp = pad_to(rpayloads[:n_r], shard_r * n_chips, 0)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips, ex.S_PAD_KEY)
-    sp = pad_to(spayloads[:n_s], shard_s * n_chips, 0)
+    rk = ex.pad_column(rkeys[:n_r], shard_r * n_chips, ex.R_PAD_KEY)
+    rp = ex.pad_column(rpayloads[:n_r], shard_r * n_chips, 0)
+    sk = ex.pad_column(skeys[:n_s], shard_s * n_chips, ex.S_PAD_KEY)
+    sp = ex.pad_column(spayloads[:n_s], shard_s * n_chips, 0)
     nv_r = ex.valid_counts(n_r, shard_r, n_chips)
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
     sharded = NamedSharding(mesh, P(AXIS))
     fn = _count_fn(mesh, n_chips, cap_r, cap_s)
-    counts, overflow = fn(
+    counts, overflow, wraps = fn(
         jax.device_put(rk.reshape(n_chips, shard_r), sharded),
         jax.device_put(rp.reshape(n_chips, shard_r), sharded),
         jax.device_put(sk.reshape(n_chips, shard_s), sharded),
@@ -131,4 +140,15 @@ def dist_join_count(rkeys, rpayloads, skeys, spayloads, n_r: int, n_s: int,
         jax.device_put(jnp.asarray(nv_r), sharded),
         jax.device_put(jnp.asarray(nv_s), sharded),
     )
+    if int(np.asarray(wraps).sum()) > 0:
+        # a chip's local count may have wrapped int32: recount through
+        # the exact host oracle (loud, never silently wrong — the same
+        # contract as the fused kernels' CountLimbOverflow fallback)
+        from ..utils.log import warn
+
+        warn("per-chip match count near int32 range in the XLA dist "
+             "path; recounting through the exact wide path")
+        cnt = mergejoin.merge_join_count_numpy(
+            np.asarray(rkeys[:n_r]), np.asarray(skeys[:n_s]))
+        return cnt, int(np.asarray(overflow).sum())
     return int(np.asarray(counts, np.int64).sum()), int(np.asarray(overflow).sum())

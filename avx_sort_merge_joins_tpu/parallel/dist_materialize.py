@@ -76,7 +76,7 @@ def _materialize_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
             return ex.exchange_hier(bflat, cap, H, C, HOST_AXIS, AXIS)
         return jax.lax.all_to_all(bflat, AXIS, 0, 0, tiled=True)
 
-    def shard_fn(rk, rp, sk, sp, nvr, nvs):
+    def shard_fn(rk, sk, sp, nvr, nvs):
         rk, sk, sp = rk[0], sk[0], sp[0]
         nvr, nvs = nvr[0], nvs[0]
         # phase 1+2: per-chip Pallas sorts — R keys-only (the output is
@@ -123,7 +123,7 @@ def _materialize_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
 
     return jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec,) * 6,
+        in_specs=(spec,) * 5,
         out_specs=(spec,) * 4,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))
@@ -151,6 +151,10 @@ def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
     memory stays bounded by one chip's padded output.
     """
     global LAST_RETRIES
+    if fanin < 2 or fanin & (fanin - 1):
+        raise ValueError(
+            f"fanin must be a power of two >= 2, got {fanin} (the k-way "
+            "merge kernel's group math requires it)")
     mesh = mesh or make_mesh()
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
@@ -162,24 +166,17 @@ def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
 
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
-
-    cap_r = cap_of(shard_r)
-    cap_s = cap_of(shard_s)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, tile_elems)
+    cap_s = ex.bucket_cap(shard_s, n_chips, slack, tile_elems)
     # static per-chip output capacity: received-S capacity × expansion slack
     cap_out = max(128, int(np.ceil(n_chips * cap_s * out_slack / 128)) * 128)
 
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    rp = pad_to(rpayloads[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
-    sp = pad_to(spayloads[:n_s], shard_s * n_chips)
+    # R payloads are NEVER shipped: the output is <S-key, S-payload>
+    # rows, so only R keys participate — at 128M rows over the ~12 MB/s
+    # axon host link the dead 512 MB transfer cost tens of seconds/call
+    rk = ex.pad_column(rkeys[:n_r], shard_r * n_chips, KEY_POS_INF)
+    sk = ex.pad_column(skeys[:n_s], shard_s * n_chips, KEY_POS_INF)
+    sp = ex.pad_column(spayloads[:n_s], shard_s * n_chips, KEY_POS_INF)
     nv_r = ex.valid_counts(n_r, shard_r, n_chips)
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 
@@ -190,7 +187,6 @@ def dist_join_materialize(rkeys, rpayloads, skeys, spayloads,
     with sort_ops.force_interpret(interp):
         ek, ep, totals, overflow = fn(
             jax.device_put(rk.reshape(n_chips, shard_r), sharded),
-            jax.device_put(rp.reshape(n_chips, shard_r), sharded),
             jax.device_put(sk.reshape(n_chips, shard_s), sharded),
             jax.device_put(sp.reshape(n_chips, shard_s), sharded),
             jax.device_put(jnp.asarray(nv_r), sharded),

@@ -253,20 +253,11 @@ def dist_mpass_join_count(rkeys, skeys, n_r: int, n_s: int,
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
 
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, tile_elems)
+    cap_s = ex.bucket_cap(shard_s, n_chips, slack, tile_elems)
 
-    cap_r = cap_of(shard_r)
-    cap_s = cap_of(shard_s)
-
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    rk = ex.pad_column(rkeys[:n_r], shard_r * n_chips, KEY_POS_INF)
+    sk = ex.pad_column(skeys[:n_s], shard_s * n_chips, KEY_POS_INF)
     nv_r = ex.valid_counts(n_r, shard_r, n_chips)
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 

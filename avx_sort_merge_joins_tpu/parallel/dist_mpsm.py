@@ -32,7 +32,7 @@ from ..utils import cache
 from . import exchange as ex
 from .dist_mway import (_equidepth_bounds, _local_sorted_2d,
                         _mesh_platform, _slice_buckets)
-from .mesh import AXIS, make_mesh
+from .mesh import AXIS, is_2d, make_mesh
 
 
 @functools.lru_cache(maxsize=2)
@@ -147,6 +147,10 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
                          use_pallas: Optional[bool] = None):
     """MPSM equi-join match count.  Returns (count, overflow) host ints."""
     mesh = mesh or make_mesh()
+    if is_2d(mesh):
+        raise ValueError(
+            "dist_mpsm_join_count requires a flat mesh (the S ring and R "
+            "range exchange address only the chip axis)")
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
     # pallas kernels interpret off-TPU regardless of pipeline choice
@@ -155,16 +159,10 @@ def dist_mpsm_join_count(rkeys, skeys, n_r: int, n_s: int,
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
-    cap_r = max(tile_elems,
-                -(-int(shard_r / n_chips * slack) // tile_elems) * tile_elems)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, tile_elems)
 
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
-    rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-    sk = pad_to(skeys[:n_s], shard_s * n_chips)
+    rk = ex.pad_column(rkeys[:n_r], shard_r * n_chips, KEY_POS_INF)
+    sk = ex.pad_column(skeys[:n_s], shard_s * n_chips, KEY_POS_INF)
     nv_r = ex.valid_counts(n_r, shard_r, n_chips)
     nv_s = ex.valid_counts(n_s, shard_s, n_chips)
 

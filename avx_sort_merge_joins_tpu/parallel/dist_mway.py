@@ -39,6 +39,7 @@ from ..ops import mergejoin, multiwaymerge as mw, sort as sort_ops
 from ..ops.bitonic import KEY_POS_INF, LANES
 from ..utils import cache  # noqa: E402
 from ..types import NumaStrategy
+from . import exchange as ex
 from .exchange import exchange_hier, valid_counts as exchange_valid_counts
 from .mesh import (AXIS, HOST_AXIS, chips_per_host_of, flat_axes, flat_spec,
                    host_shape, is_2d, make_mesh, shuffle_order)
@@ -229,8 +230,12 @@ def _equidepth_bounds(r2, s2, nvr, nvs, n_chips: int, axes=AXIS):
     sflat = s2.reshape(-1)
     qs = []
     for j in range(nq):
-        pos_r = jnp.minimum((nvr * j) // nq, jnp.maximum(nvr - 1, 0))
-        pos_s = jnp.minimum((nvs * j) // nq, jnp.maximum(nvs - 1, 0))
+        # divide BEFORE multiplying: (nvr * j) wraps int32 for shards
+        # >= ~143M (nvr*15 >= 2^31 — the workload-A 200M/chip tier), and
+        # dynamic_slice wraps negative starts, silently skewing every
+        # splitter.  (nvr // nq) * j stays < nvr < 2^31 for all j < nq.
+        pos_r = jnp.minimum((nvr // nq) * j, jnp.maximum(nvr - 1, 0))
+        pos_s = jnp.minimum((nvs // nq) * j, jnp.maximum(nvs - 1, 0))
         qs.append(jax.lax.dynamic_slice(rflat, (pos_r,), (1,)))
         qs.append(jax.lax.dynamic_slice(sflat, (pos_s,), (1,)))
     samples = jax.lax.all_gather(jnp.concatenate(qs), axes).reshape(-1)
@@ -450,6 +455,10 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     """
     import sys
 
+    if fanin < 2 or fanin & (fanin - 1):
+        raise ValueError(
+            f"fanin must be a power of two >= 2, got {fanin} (the k-way "
+            "merge kernel's group math requires it)")
     mesh = mesh or make_mesh()
     if use_pallas is None:
         use_pallas = _mesh_platform(mesh) == "tpu"
@@ -470,6 +479,15 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
               f"(use_pallas={use_pallas}, n_chips={n_chips}, "
               f"mesh_axes={mesh.axis_names}); running the bulk "
               "all_to_all path", file=sys.stderr)
+    if (overlap_ok and numa_strategy is not None
+            and numa_strategy != NumaStrategy.NEXT):
+        # flag honesty: the overlap path's ppermute rounds are inherently
+        # sequential-offset (round r receives from chip me-r) — a RING/
+        # RANDOM schedule cannot apply, so say so instead of mislabeling
+        # the measurement
+        print(f"[WARN ] overlap=True ignores numa_strategy={numa_strategy}"
+              " (ppermute rounds are sequential by construction)",
+              file=sys.stderr)
     spec = flat_spec(mesh)
     schedule = None
     if hier is not None:
@@ -488,13 +506,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
-
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
-
-    cap_r = cap_of(shard_r)
-    cap_s = cap_of(shard_s)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, tile_elems)
+    cap_s = ex.bucket_cap(shard_s, n_chips, slack, tile_elems)
 
     nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
@@ -504,13 +517,8 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         assert skeys.shape == (n_chips, shard_s), skeys.shape
         rk_dev, sk_dev = rkeys, skeys
     else:
-        def pad_to(x, total):
-            x = jnp.asarray(x, jnp.int32)
-            out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-            return out.at[: x.shape[0]].set(x)
-
-        rk = pad_to(rkeys[:n_r], shard_r * n_chips)
-        sk = pad_to(skeys[:n_s], shard_s * n_chips)
+        rk = ex.pad_column(rkeys[:n_r], shard_r * n_chips, KEY_POS_INF)
+        sk = ex.pad_column(skeys[:n_s], shard_s * n_chips, KEY_POS_INF)
         rk_dev = jax.device_put(rk.reshape(n_chips, shard_r), sharded)
         sk_dev = jax.device_put(sk.reshape(n_chips, shard_s), sharded)
 
@@ -538,6 +546,61 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                   block_rows, tile_rows, fanin, use_pallas, numa_strategy,
                   pre_sharded, overlap)
     return count, ov
+
+
+@functools.lru_cache(maxsize=2)
+def _phased_fns(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
+                block_rows: int, tile_rows: int, fanin: int,
+                use_pallas: bool, schedule, hier, interp: bool,
+                env: tuple = ()):
+    """Cached jitted programs for the three phase dispatches of
+    :func:`dist_mway_join_phased` — rebuilding them per call re-traced
+    all three shard_map programs every invocation (and the overflow
+    retry re-traced them again), landing compile time inside the
+    reported phase columns."""
+    axes = flat_axes(mesh)
+    spec = flat_spec(mesh)
+    sched = list(schedule) if schedule is not None else None
+
+    def sort_fn(rk, sk):
+        rk, sk = rk[0], sk[0]
+        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
+                              use_pallas)
+        return r2[None], s2[None]
+
+    def exmerge_fn(r2, s2, nvr, nvs):
+        r2, s2 = r2[0], s2[0]
+        nvr, nvs = nvr[0], nvs[0]
+        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
+        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
+        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
+        grk = _exchange(brk, n_chips, cap_r, sched, hier)
+        gsk = _exchange(bsk, n_chips, cap_s, sched, hier)
+        grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
+            jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
+        gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
+            jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
+        mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
+                                  fanin, use_pallas)
+        ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
+                                  fanin, use_pallas)
+        return (mr2[None], ms2[None], tr.reshape(1), ts.reshape(1),
+                (ovr + ovs).reshape(1))
+
+    def count_fn(mr2, ms2, tr, ts):
+        stats = mergejoin.merge_join_count_fused(
+            mr2[0], ms2[0], tr[0], ts[0], tile_rows, interpret=interp)
+        return stats.reshape(1, 3)
+
+    def smap(f, n_in, n_out):
+        return jax.jit(shard_map(
+            f, mesh=mesh, in_specs=(spec,) * n_in,
+            out_specs=tuple([spec] * n_out) if n_out > 1 else spec,
+            check_vma=False))
+
+    return smap(sort_fn, 2, 2), smap(exmerge_fn, 4, 5), smap(count_fn, 4, 1)
 
 
 def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
@@ -577,67 +640,25 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     shard_r = -(-n_r // n_chips)
     shard_s = -(-n_s // n_chips)
     tile_elems = tile_rows * LANES
-
-    def cap_of(shard):
-        want = int(shard / n_chips * slack)
-        return max(tile_elems, -(-want // tile_elems) * tile_elems)
-
-    cap_r, cap_s = cap_of(shard_r), cap_of(shard_s)
+    cap_r = ex.bucket_cap(shard_r, n_chips, slack, tile_elems)
+    cap_s = ex.bucket_cap(shard_s, n_chips, slack, tile_elems)
     nv_r = exchange_valid_counts(n_r, shard_r, n_chips)
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
     sharded = NamedSharding(mesh, spec)
 
-    def pad_to(x, total):
-        x = jnp.asarray(x, jnp.int32)
-        out = jnp.full((total,), KEY_POS_INF, jnp.int32)
-        return out.at[: x.shape[0]].set(x)
-
     rk_dev = jax.device_put(
-        pad_to(rkeys[:n_r], shard_r * n_chips).reshape(n_chips, shard_r),
-        sharded)
+        ex.pad_column(rkeys[:n_r], shard_r * n_chips,
+                      KEY_POS_INF).reshape(n_chips, shard_r), sharded)
     sk_dev = jax.device_put(
-        pad_to(skeys[:n_s], shard_s * n_chips).reshape(n_chips, shard_s),
-        sharded)
+        ex.pad_column(skeys[:n_s], shard_s * n_chips,
+                      KEY_POS_INF).reshape(n_chips, shard_s), sharded)
     nvr_dev = jax.device_put(jnp.asarray(nv_r), sharded)
     nvs_dev = jax.device_put(jnp.asarray(nv_s), sharded)
 
-    def sort_fn(rk, sk):
-        rk, sk = rk[0], sk[0]
-        r2 = _local_sorted_2d(rk, rk.shape[0], block_rows, tile_rows, fanin,
-                              use_pallas)
-        s2 = _local_sorted_2d(sk, sk.shape[0], block_rows, tile_rows, fanin,
-                              use_pallas)
-        return r2[None], s2[None]
-
-    def exmerge_fn(r2, s2, nvr, nvs):
-        r2, s2 = r2[0], s2[0]
-        nvr, nvs = nvr[0], nvs[0]
-        bounds = _equidepth_bounds(r2, s2, nvr, nvs, n_chips, axes)
-        brk, rc, ovr = _slice_buckets(r2, nvr, bounds, n_chips, cap_r)
-        bsk, sc, ovs = _slice_buckets(s2, nvs, bounds, n_chips, cap_s)
-        grk = _exchange(brk, n_chips, cap_r, schedule, hier)
-        gsk = _exchange(bsk, n_chips, cap_s, schedule, hier)
-        grc = _exchange(rc, n_chips, 1, None, hier) if hier else \
-            jax.lax.all_to_all(rc, AXIS, 0, 0, tiled=True)
-        gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
-            jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
-        mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
-                                  fanin, use_pallas)
-        ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
-                                  fanin, use_pallas)
-        return (mr2[None], ms2[None], tr.reshape(1), ts.reshape(1),
-                (ovr + ovs).reshape(1))
-
-    def count_fn(mr2, ms2, tr, ts):
-        stats = mergejoin.merge_join_count_fused(
-            mr2[0], ms2[0], tr[0], ts[0], tile_rows, interpret=interp)
-        return stats.reshape(1, 3)
-
-    def smap(f, n_in, n_out):
-        return jax.jit(shard_map(
-            f, mesh=mesh, in_specs=(spec,) * n_in,
-            out_specs=tuple([spec] * n_out) if n_out > 1 else spec,
-            check_vma=False))
+    sort_p, exmerge_p, count_p = _phased_fns(
+        mesh, n_chips, cap_r, cap_s, block_rows, tile_rows, fanin,
+        use_pallas, tuple(schedule) if schedule is not None else None,
+        hier, interp, cache.prefetch_env_key())
 
     def sync(x):
         for leaf in jax.tree_util.tree_leaves(x):
@@ -646,16 +667,15 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     phases = {}
     with sort_ops.force_interpret(interp):
         t0 = _time.perf_counter()
-        r2, s2 = smap(sort_fn, 2, 2)(rk_dev, sk_dev)
+        r2, s2 = sort_p(rk_dev, sk_dev)
         sync((r2, s2))
         phases["sort"] = _time.perf_counter() - t0
         t1 = _time.perf_counter()
-        mr2, ms2, tr, ts, ov = smap(exmerge_fn, 4, 5)(r2, s2, nvr_dev,
-                                                      nvs_dev)
+        mr2, ms2, tr, ts, ov = exmerge_p(r2, s2, nvr_dev, nvs_dev)
         sync((mr2, ms2))
         phases["merge1"] = _time.perf_counter() - t1
         t2 = _time.perf_counter()
-        stats = smap(count_fn, 4, 1)(mr2, ms2, tr, ts)
+        stats = count_p(mr2, ms2, tr, ts)
         sync(stats)
         phases["mergejoin"] = _time.perf_counter() - t2
     phases["total"] = phases["sort"] + phases["merge1"] + phases["mergejoin"]

@@ -164,3 +164,22 @@ def exchange(bkeys, bpayloads, counts, axis_name: str, n_buckets: int, cap: int)
     rc = jax.lax.all_to_all(counts, axis_name, split_axis=0, concat_axis=0,
                             tiled=True)
     return rk, rp, rc
+
+
+def bucket_cap(shard: int, n_chips: int, slack: float,
+               align_elems: int) -> int:
+    """Per-(chip, destination) bucket capacity: average bucket size times
+    the slack factor, rounded up to ``align_elems`` (whole merge tiles
+    for the Pallas paths, 128 lanes for the XLA path).  One formula for
+    every dist pipeline — the capacity/overflow semantics must never
+    diverge between them."""
+    want = int(shard / n_chips * slack)
+    return max(align_elems, -(-want // align_elems) * align_elems)
+
+
+def pad_column(x, total: int, fill: int):
+    """Pad/truncate a 1-D int32 column to ``total`` elements with the
+    given sentinel — the host→device staging layout of every dist path."""
+    x = jnp.asarray(x, jnp.int32)
+    out = jnp.full((total,), fill, jnp.int32)
+    return out.at[: x.shape[0]].set(x)

@@ -459,3 +459,52 @@ def test_workload_a_skewed():
     _, sk = scale.make_workload_a_sharded(nR, nS, mesh_, skew=1.0)
     top = (np.asarray(sk).reshape(-1) == 1).mean()
     assert top > 0.01  # uniform would be ~1e-6
+
+
+def test_dist_join_count_wrap_detection(capsys):
+    """A per-chip match count past 2^31 (heavy-hitter key: 50K x 50K dups
+    = 2.5e9 matches on one chip) must come back exact through the loud
+    wide-path fallback — the raw XLA int32 count wraps silently."""
+    from avx_sort_merge_joins_tpu.parallel import dist_join
+
+    n = 50_000
+    rk = np.full(n, 7, np.int32)
+    sk = np.full(n, 7, np.int32)
+    # slack covers the single-destination pile-up (one key range owns
+    # ALL tuples), isolating the wrap-detection path from bucket overflow
+    cnt, ov = dist_join.dist_join_count(
+        rk, np.arange(n, dtype=np.int32), sk, np.arange(n, dtype=np.int32),
+        n, n, slack=80.0)
+    assert ov == 0
+    assert cnt == n * n  # 2.5e9 > 2^31: wrapped int32 would be wrong
+    assert "wide path" in capsys.readouterr().err
+
+
+def test_dist_flat_only_guards(rng):
+    """dist_join / dist_mpsm address only the chip axis: a 2-D mesh must
+    be rejected loudly, not misroute buckets."""
+    import pytest
+
+    from avx_sort_merge_joins_tpu.parallel import dist_join, dist_mpsm
+    from avx_sort_merge_joins_tpu.parallel.mesh import make_mesh2d
+
+    nR, nS = 8192, 8192
+    rk, sk = _workload(rng, nR, nS)
+    mesh2 = make_mesh2d(2, 4)
+    with pytest.raises(ValueError, match="flat mesh"):
+        dist_join.dist_join_count(rk, rk, sk, sk, nR, nS, mesh=mesh2)
+    with pytest.raises(ValueError, match="flat mesh"):
+        dist_mpsm.dist_mpsm_join_count(rk, sk, nR, nS, mesh=mesh2)
+
+
+def test_dist_mway_nonpow2_fanin_rejected(rng):
+    """A non-power-of-two fanin must fail loudly at entry instead of a
+    bare assert deep inside the k-way merge trace."""
+    import pytest
+
+    from avx_sort_merge_joins_tpu.parallel import dist_mway
+
+    nR, nS = 8192, 8192
+    rk, sk = _workload(rng, nR, nS)
+    with pytest.raises(ValueError, match="power of two"):
+        dist_mway.dist_mway_join_count(rk, sk, nR, nS, fanin=6)
