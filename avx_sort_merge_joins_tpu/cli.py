@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exchange schedule of the multi-chip shuffle")
     p.add_argument("-m", "--mwaybufsize", type=int, default=0,
                    help="multiway FIFO buffer size in bytes (0 = derived)")
+    p.add_argument("--nchunks", type=int, default=1,
+                   help="mpsm: number of independent local S runs; 1 is "
+                        "the measured-best single-chip shape (each added "
+                        "chunk re-scans all of sorted R — MPSM's "
+                        "scan-all-runs cost, PLAN nchunks sweep: 195.6 vs "
+                        "74.0 Mt/s at 16M for 1 vs 4)")
     p.add_argument("--materialize", action="store_true",
                    help="produce join output tuples, not only the count")
     p.add_argument("--persist", metavar="DIR", default=None,
@@ -178,6 +184,10 @@ def _run_scale_tier(args) -> int:
     nt = args.r_size + args.s_size
     print(f"[STATS] NUMTUPLES {nt}, TOTAL-TIME-USECS {dt*1e6:.1f}, "
           f"TUPLES-PER-SECOND {nt/dt:.0f}", file=sys.stderr)
+    from .utils import profiling
+    print(profiling.record_line(args.algo, args.nthreads, args.r_size,
+                                args.s_size, 0, {"total": dt}),
+          file=sys.stderr)
     print(f"Results = {cnt}")
     return 0
 
@@ -256,7 +266,7 @@ def run_join(args, R, S):
         return sortmergejoin_multipass(R, S, config)
     if args.algo == "mpsm":
         from .models.mpsm import sortmergejoin_mpsm
-        return sortmergejoin_mpsm(R, S, config)
+        return sortmergejoin_mpsm(R, S, config, nchunks=args.nchunks)
     raise SystemExit(f"unknown algorithm {args.algo}")
 
 
@@ -324,6 +334,14 @@ def _validate(args):
             sys.exit(2)
     if args.key8b and (args.scalarsort or args.scalarmerge):
         pass  # KEY_8B already implies the scalar path (main.c:871-877)
+    if args.nchunks != 1 and (args.algo != "mpsm" or args.nthreads > 1):
+        # flag honesty: nchunks shapes the single-chip mpsm only (the
+        # distributed form's "chunks" are the chips' local S runs)
+        print("[WARN ] --nchunks applies to single-chip mpsm only",
+              file=sys.stderr)
+    if args.nchunks < 1:
+        print("[ERROR] --nchunks must be >= 1", file=sys.stderr)
+        sys.exit(2)
 
 
 def main(argv=None) -> int:

@@ -92,6 +92,27 @@ def _mway_count_impl(rk, sk, nR: int, nS: int, fanin: int,
         rks = sorted2d(rk, nR)
         sks = sorted2d(sk, nS)
     else:
+        import os
+
+        if os.environ.get("SMJ_COUNT2", "0") == "1":
+            # round-4 fused-last-level variant: both compositions STOP at
+            # two runs (merge_levels_2runs deletes the final traversal)
+            # and the 4-way-select count kernel absorbs the missing merge
+            levels_r, stride_r, nr_r = mw.merge_levels_2runs(
+                nR, block_rows, fanin)
+            levels_s, stride_s, nr_s = mw.merge_levels_2runs(
+                nS, block_rows, fanin)
+            if nr_r == 2 and nr_s == 2:
+                rks, _ = mw.sort_blocks_phase(rk, None, nR, block_rows,
+                                              tile_rows)
+                for level in levels_r:
+                    rks, _ = mw.merge_level(rks, None, nR, level, tile_rows)
+                sks, _ = mw.sort_blocks_phase(sk, None, nS, block_rows,
+                                              tile_rows)
+                for level in levels_s:
+                    sks, _ = mw.merge_level(sks, None, nS, level, tile_rows)
+                return mergejoin.merge_join_count_fused2(
+                    rks, sks, nR, nS, stride_r, stride_s, COUNT_TILE_ROWS)
         # S sorts NEGATED-ascending (= descending): the count kernel then
         # reads S windows from the back and negates — one elementwise op
         # instead of the 14-stage flip_flat per tile (PLAN round-3)

@@ -97,33 +97,6 @@ def finish_count(stats, tile_rows: int = sort_ops.TILE_ROWS_DEFAULT) -> int:
     return _combine_host(cb, sb, tile_rows) - _combine_host(ca, sa, tile_rows)
 
 
-def _tag_merge_mw(rk, sk, nR: int, nS: int, tile_rows: int, r_flag: int,
-                  s_flag: int):
-    """Tag-merge via the 2-way FIFO-tree kernel: both inputs ascending
-    (as produced by multiway_sort), flags ride in the payload slot and
-    break ties."""
-    from . import multiwaymerge as mw
-
-    kf, pf, stride = sort_ops.two_run_layout(
-        rk, sk, nR, nS, tile_rows, rounded_stride=True,
-        pa=jnp.int32(r_flag), pb=jnp.int32(s_flag))
-    ok, of, _ = mw.multiway_merge(kf, pf, [nR, nS], stride, 2, tile_rows)
-    return ok, of
-
-
-def merge_join_count_asc(rk_sorted, sk_sorted, nR: int, nS: int,
-                         tile_rows: int = sort_ops.TILE_ROWS_DEFAULT):
-    """As :func:`merge_join_count` but with BOTH inputs ascending (the m-way
-    path, where runs come out of multiway_sort).  Same rank-reduction
-    identity; combine with :func:`finish_count`."""
-    total = nR + nS
-    mk, mf = _tag_merge_mw(rk_sorted, sk_sorted, nR, nS, tile_rows, 0, 1)
-    ca, sa = _position_stats(mf, total, 0, tile_rows)
-    mk2, mf2 = _tag_merge_mw(rk_sorted, sk_sorted, nR, nS, tile_rows, 1, 0)
-    cb, sb = _position_stats(mf2, total, 1, tile_rows)
-    return ca, sa, cb, sb
-
-
 def _segmented_counts(keys, flags, carry_key, r_open, s_open,
                       boundary=None):
     """Within one sorted (key, flag) tile, compute inclusive per-position
@@ -546,6 +519,216 @@ def merge_join_count_fused(rk2d, sk2d, nR: int, nS: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, rk2d, sk2d)
     return out
+
+
+def _count_kernel2(lens_ref, rk_hbm, sk_hbm, out_ref, bufs0, bufs1, insem,
+                   *, tile_rows: int, stride_r_rows: int,
+                   stride_s_rows: int):
+    """4-way-select fused count: stream-merge TWO ascending runs per side
+    and count matches — lets each sort composition stop one merge level
+    early (multiwaymerge.merge_levels_2runs), deleting the final tree
+    traversal per element (4n bytes written + 4n re-read + its substages)
+    at the price of THREE tagged merge networks per emitted tile instead
+    of one (two intra-side selects + the cross-side select).
+
+    Per tile: the T smallest of the R union is the sorted lower half of
+    the tagged bitonic merge of (R1 window, flip(R2 window)) — same for
+    S — and the T smallest of (R union ∪ S union) ⊆ those two lower
+    halves, so one more tagged merge emits the tile.  Tags 0/1 = R run,
+    2/3 = S run, >=4 = invalid; per-run consumption = the emitted tile's
+    tag counts; the segment machinery consumes flags = tag >> 1 exactly
+    as :func:`_count_kernel` does.  Double-buffered 2T windows per
+    stream (the V2 prefetch medicine), streams indexed 0..3 in one
+    (4, WIN, 128) scratch pair.
+    """
+    from . import bitonic
+    from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
+
+    T = tile_rows * LANES
+    WIN = 2 * tile_rows + 8
+    nA1, nA2, nB1, nB2 = (lens_ref[0], lens_ref[1], lens_ref[2],
+                          lens_ref[3])
+    lens = (nA1, nA2, nB1, nB2)
+    base = (jnp.int32(0), jnp.int32(stride_r_rows * LANES),
+            jnp.int32(0), jnp.int32(stride_s_rows * LANES))
+    hbm = (rk_hbm, rk_hbm, sk_hbm, sk_hbm)
+    total = nA1 + nA2 + nB1 + nB2
+    ntiles = (total + T - 1) // T
+    fidx = bitonic.flat_index((tile_rows, LANES))
+
+    def issue(bufs, s, elem, semoff):
+        row = jnp.minimum((base[s] + elem) // LANES,
+                          hbm[s].shape[0] - WIN)
+        pltpu.make_async_copy(
+            hbm[s].at[pl.ds(row, WIN), :], bufs.at[s],
+            insem.at[semoff + s]).start()
+        return row
+
+    def wait(bufs, s, row, semoff):
+        pltpu.make_async_copy(
+            hbm[s].at[pl.ds(row, WIN), :], bufs.at[s],
+            insem.at[semoff + s]).wait()
+
+    def window(bufs, s, elem, base_row):
+        off = base[s] + elem - base_row * LANES
+        rowoff, skip = off // LANES, off % LANES
+        win = bufs[s, pl.ds(rowoff, tile_rows + 8), :]
+        return bitonic.shift_flat(win, skip)[:tile_rows]
+
+    def select_tagged(ak, at, bk, bt):
+        """Sorted lower half of two ascending tagged windows (the
+        intra-side and cross-side select stages share it)."""
+        bk_r = bitonic.flip_flat(bk)
+        bt_r = bitonic.flip_flat(bt)
+        le = ak <= bk_r
+        hk = jnp.where(le, ak, bk_r)
+        ht = jnp.where(le, at, bt_r)
+        return bitonic.bitonic_merge_tagged(hk, ht, ascending=True)
+
+    def tile_compute(t, st, wins):
+        (e0, e1, e2, e3, carry_key, r_open, s_open, hi, lo, ovf) = st
+        es = (e0, e1, e2, e3)
+        ks, ts = [], []
+        for s in range(4):
+            avail = lens[s] - es[s]
+            ks.append(jnp.where(fidx < avail, wins[s], KEY_POS_INF))
+            ts.append(jnp.where(fidx < avail, jnp.int32(s),
+                                jnp.int32(4)).astype(jnp.int32))
+        rk_, rt_ = select_tagged(ks[0], ts[0], ks[1], ts[1])
+        sk_, st_ = select_tagged(ks[2], ts[2], ks[3], ts[3])
+        mk, mt = select_tagged(rk_, rt_, sk_, st_)
+
+        incs = [jnp.sum((mt == s).astype(jnp.int32)) for s in range(4)]
+        inc_out = jnp.minimum(jnp.int32(T), total - t * T)
+        mf = mt >> 1  # 0 = R, 1 = S, 2 = invalid — the _count_kernel flags
+
+        c0, c1, f, b = _segmented_counts(mk, mf, carry_key, r_open, s_open)
+        b0 = jnp.sum(jnp.where(fidx == 0, b, 0))
+        bnext = bitonic.shift_flat(b, 1)
+        bnext = jnp.where(fidx == T - 1, 0, bnext)
+        closes = jnp.sum(bnext * c0 * c1)
+        big = jnp.float32(1 << 29)
+        pf = c0.astype(jnp.float32) * c1.astype(jnp.float32)
+        ovf = ovf | jnp.sum(((bnext > 0) & (pf >= big)).astype(jnp.int32))
+        ro_f = r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        ovf = ovf | jnp.where((b0 > 0) & (ro_f >= big), 1, 0)
+
+        lv = inc_out - 1
+        at_lv = fidx == lv
+        partial = inc_out < T
+        key_lv = jnp.sum(jnp.where(at_lv, mk, 0))
+        r_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c0, 0)))
+        s_new = jnp.where(partial, 0, jnp.sum(jnp.where(at_lv, c1, 0)))
+
+        lo = lo + closes
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        lo = lo + b0 * r_open * s_open
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        return (e0 + incs[0], e1 + incs[1], e2 + incs[2], e3 + incs[3],
+                key_lv, r_new, s_new, hi, lo, ovf)
+
+    def guarded(t, st, wins):
+        new = tile_compute(t, st, wins)
+        live = t < ntiles
+        return tuple(jnp.where(live, n, o) for n, o in zip(new, st))
+
+    init10 = (jnp.int32(0),) * 4 + (jnp.int32(KEY_NEG_INF),) + \
+        (jnp.int32(0),) * 5
+
+    # prologue: tile 0's windows into buffer set 0 (sems 0..3)
+    rows0 = tuple(issue(bufs0, s, jnp.int32(0), 0) for s in range(4))
+    init = init10 + rows0
+
+    def pair_body(it, carry):
+        st = carry[:10]
+        rows_a = carry[10:14]
+        t0 = 2 * it
+        # prefetch t0+1 into set 1 (sems 4..7) from the current cursors
+        rows_b = tuple(issue(bufs1, s, st[s], 4) for s in range(4))
+        for s in range(4):
+            wait(bufs0, s, rows_a[s], 0)
+        st = guarded(t0, st, tuple(
+            window(bufs0, s, st[s], rows_a[s]) for s in range(4)))
+        # prefetch t0+2 into set 0
+        rows_an = tuple(issue(bufs0, s, st[s], 0) for s in range(4))
+        for s in range(4):
+            wait(bufs1, s, rows_b[s], 4)
+        st = guarded(t0 + 1, st, tuple(
+            window(bufs1, s, st[s], rows_b[s]) for s in range(4)))
+        return st + rows_an
+
+    npairs = (ntiles + 1) // 2
+    final = jax.lax.fori_loop(0, npairs, pair_body, init)
+    st = final[:10]
+    for s in range(4):
+        wait(bufs0, s, final[10 + s], 0)  # drain the dangling prefetch
+    _, _, _, _, _, r_open, s_open, hi, lo, ovf = st
+    ovf = ovf | jnp.where(
+        r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+        >= jnp.float32(1 << 29), 1, 0)
+    lo = lo + r_open * s_open
+    hi = hi + (lo >> 30)
+    lo = lo & ((1 << 30) - 1)
+    out_ref[0, 0] = hi
+    out_ref[0, 1] = lo
+    out_ref[0, 2] = ovf
+
+
+def merge_join_count_fused2(rk2d, sk2d, nR: int, nS: int,
+                            stride_r_rows: int, stride_s_rows: int,
+                            tile_rows: int = sort_ops.TILE_ROWS_DEFAULT,
+                            interpret: bool | None = None):
+    """Exact match count over TWO-RUN sorted layouts: each side holds two
+    ascending runs (run 0 at rows [0, stride), run 1 at [stride, ...)
+    with the uniform-lens split len0 = min(n, stride*128)) — the output
+    of a composition that stops one merge level early
+    (multiwaymerge.merge_levels_2runs).  Returns the (1, 3)
+    [hi, lo, overflow] stats row (combine with
+    :func:`finish_count_fused`).  A/B surface for the round-4 fused
+    last-level experiment (see PLAN)."""
+    import functools as ft
+
+    if interpret is None:
+        interpret = sort_ops._interpret()
+    spanR = stride_r_rows * LANES
+    spanS = stride_s_rows * LANES
+    nR = jnp.asarray(nR, jnp.int32)
+    nS = jnp.asarray(nS, jnp.int32)
+    lens_arr = jnp.stack([
+        jnp.minimum(nR, spanR), jnp.maximum(nR - spanR, 0),
+        jnp.minimum(nS, spanS), jnp.maximum(nS - spanS, 0)])
+    win_rows = 2 * tile_rows + 8
+
+    def ensure_rows(x, min_rows):
+        if x.shape[0] >= min_rows:
+            return x
+        pad = jnp.full((min_rows - x.shape[0], LANES), KEY_POS_INF,
+                       jnp.int32)
+        return jnp.concatenate([x, pad], axis=0)
+
+    # clamp-free invariant: the last run's windows must have WIN rows of
+    # spare past its live end (see _count_kernel's ensure_spare)
+    rk2d = ensure_rows(rk2d, 2 * stride_r_rows + win_rows)
+    sk2d = ensure_rows(sk2d, 2 * stride_s_rows + win_rows)
+    bufs = pltpu.VMEM((4, win_rows, LANES), jnp.int32)
+    return pl.pallas_call(
+        ft.partial(_count_kernel2, tile_rows=tile_rows,
+                   stride_r_rows=stride_r_rows,
+                   stride_s_rows=stride_s_rows),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        scratch_shapes=[bufs, bufs, pltpu.SemaphoreType.DMA((8,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(lens_arr, rk2d, sk2d)
 
 
 def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,

@@ -86,8 +86,35 @@ def _mwaymerge_kernel(
     lens_ref, *refs,
     fanin: int, stride_rows: int, tile_rows: int, keys_only: bool,
     uniform: bool, leaf_prefetch: bool = False,
+    gate: str | None = None, chunk_elems: int = 0, max_chunks: int = 0,
 ):
-    if keys_only and leaf_prefetch:
+    arrive_ref = recv_sems = wout = None
+    if gate == "emulated":
+        # receiver-side chunk-gated merge (remote_fifo): leaf data becomes
+        # readable chunk-by-chunk per an arrival-round schedule — a leaf is
+        # ready only when its DELIVERED prefix holds a full window (or is
+        # complete), so the tree backpressures on arrival exactly like the
+        # real remote-push receiver blocks on its recv semaphores
+        # (reference: avx_multiwaymerge.c:605-728 readmerge reads remote
+        # NUMA runs through the merge).  Extra refs: the (W, max_chunks)
+        # SMEM arrival-round table and a (1, W+1) SMEM output recording
+        # the per-leaf chunk-wait counters + a gating-violation flag.
+        (arrive_ref, k_hbm, ok_hbm, wout, fk, wk, wk2, rk_s, insem,
+         outsem) = refs
+        p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
+        leaf_prefetch = False
+    elif gate == "remote":
+        # the REAL receiver (dark behind SMJ_REMOTE_DMA): leaves are the
+        # landing strips peers push into; before a leaf window's valid
+        # span crosses into chunk j the kernel waits the (src, chunk)
+        # receive-DMA descriptors [waited .. j].  Availability is
+        # optimistic (run_len - consumed) — the blocking waits are the
+        # synchronization, as in the reference's remote reads.
+        (k_hbm, ok_hbm, wout, fk, wk, wk2, rk_s, insem, outsem,
+         recv_sems) = refs
+        p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
+        leaf_prefetch = False
+    elif keys_only and leaf_prefetch:
         (k_hbm, ok_hbm, fk, wk, wk2, rk_s, insem, outsem,
          lb, lsem, lstate) = refs
         p_hbm = op_hbm = fp = wp = wp2 = rp_s = None
@@ -147,6 +174,65 @@ def _mwaymerge_kernel(
 
     out_base_rows = run0 * stride_rows
 
+    # ----- chunk-arrival gating (the remote-pull receiver) -------------
+    if gate is not None:
+        assert keys_only and chunk_elems > 0 and max_chunks > 0
+        assert chunk_elems % LANES == 0
+        chunk_rows = chunk_elems // LANES
+
+    if gate == "emulated":
+        def delivered_chunks(r, rnd):
+            """Chunks of run r whose (emulated) arrival round has passed.
+            The schedule rows must be non-decreasing (wrapper asserts)."""
+            d = jnp.int32(0)
+            for j in range(max_chunks):
+                d = d + (arrive_ref[r, j] <= rnd).astype(jnp.int32)
+            return d
+
+    if gate == "remote":
+        def _wait_chunk_arrivals(r, frm, to):
+            """Block until chunks [frm, to) of source r's landing strip
+            have arrived: one receive-descriptor wait per chunk (every
+            push is a full chunk_rows x 128 tile set, so the descriptor
+            byte counts match the sender's — remote_fifo pushes whole
+            chunks and lets the avail masks hide the slack junk)."""
+            def _w(j, acc):
+                row = r * stride_rows + j * chunk_rows
+                pltpu.make_async_remote_copy(
+                    k_hbm.at[pl.ds(row, chunk_rows), :],
+                    k_hbm.at[pl.ds(row, chunk_rows), :],
+                    insem.at[0], recv_sems.at[r],
+                    device_id=jnp.int32(0),
+                    device_id_type=pltpu.DeviceIdType.LOGICAL).wait_recv()
+                return acc
+
+            jax.lax.fori_loop(frm, to, _w, 0)
+
+    def _leaf_gate(c, consumed, waited, viol, rnd):
+        """Gate a leaf child's upcoming window load on chunk arrival.
+
+        Computes the chunk index the window's VALID span reaches
+        (``leaf_wait_chunk`` in remote_fifo — the kernel-side twin of the
+        pure, unit-tested host function) and either blocks on the receive
+        descriptors (real mode) or checks the emulated delivered prefix
+        (violation flag — a regression guard on the gating arithmetic).
+        Returns updated (waited, viol).  ``c - nnodes`` is static: every
+        fire_node instantiation is unrolled per node.
+        """
+        r = c - nnodes
+        ln = run_len(r)
+        use = jnp.minimum(ln - consumed[c], jnp.int32(T))
+        need1 = jnp.where(use > 0,
+                          (consumed[c] + use - 1) // chunk_elems + 1, 0)
+        if gate == "remote":
+            _wait_chunk_arrivals(r, waited[r], need1)
+        else:
+            deliv = delivered_chunks(r, rnd)
+            viol = viol | jnp.where((use > 0) & (need1 > deliv), 1, 0)
+        waited = tuple(jnp.maximum(w, need1) if i == r else w
+                       for i, w in enumerate(waited))
+        return waited, viol
+
     # ----- leaf-window prefetch machinery (keys-only fast path) --------
     # Leaf HBM windows are DOUBLE-WIDE (2T+8 rows) and REFILLED by a
     # fori over leaves with dynamic DMA-semaphore indexing at the END of
@@ -184,14 +270,22 @@ def _mwaymerge_kernel(
         lstate[3, 0] = jnp.int32(0)  # root output slot pending flags
         lstate[3, 1] = jnp.int32(0)
 
-    def child_avail(c, produced, consumed):
+    def child_avail(c, produced, consumed, rnd=None):
         """(available elements, ready?) of child c.  A run child is always
         ready (fully materialized in HBM); a FIFO child is ready when it
         holds a full window or has produced everything it ever will — the
         reference's half-full/done backpressure rule
-        (avx_multiwaymerge.c:292-295)."""
+        (avx_multiwaymerge.c:292-295).  Under emulated chunk gating a run
+        child is only as available as its delivered prefix — not-yet-
+        arrived leaves backpressure their ancestors exactly like a
+        starved FIFO."""
         if c >= nnodes:  # an input run: always fully produced
             ln = run_len(c - nnodes)
+            if gate == "emulated":
+                deliv = jnp.minimum(
+                    delivered_chunks(c - nnodes, rnd) * chunk_elems, ln)
+                avail = deliv - consumed[c]
+                return avail, (avail >= T) | (deliv >= ln)
             return ln - consumed[c], jnp.bool_(True)
         avail = produced[c] - consumed[c]
         return avail, (avail >= T) | (produced[c] >= sub_len[c])
@@ -257,10 +351,14 @@ def _mwaymerge_kernel(
         return (jnp.where(bad, KEY_POS_INF, k),
                 None if p is None else jnp.where(bad, KEY_POS_INF, p))
 
-    def fire_node(m, produced, consumed):
+    def fire_node(m, produced, consumed, waited, viol, rnd):
         cl, cr = 2 * m + 1, 2 * m + 2
-        avail_l, _ = child_avail(cl, produced, consumed)
-        avail_r, _ = child_avail(cr, produced, consumed)
+        avail_l, _ = child_avail(cl, produced, consumed, rnd)
+        avail_r, _ = child_avail(cr, produced, consumed, rnd)
+        if gate is not None and cl >= nnodes:
+            waited, viol = _leaf_gate(cl, consumed, waited, viol, rnd)
+        if gate is not None and cr >= nnodes:
+            waited, viol = _leaf_gate(cr, consumed, waited, viol, rnd)
         ak, ap = load_child_window(cl, consumed, wk, wp)
         bk, bp = load_child_window(cr, consumed, wk2, wp2)
         ak, ap = mask_invalid(ak, ap, avail_l)
@@ -334,14 +432,14 @@ def _mwaymerge_kernel(
                 lstate[2, cl - nnodes] = consumed[cl]
             if cr >= nnodes:
                 lstate[2, cr - nnodes] = consumed[cr]
-        return produced, consumed
+        return produced, consumed, waited, viol
 
-    def round_body(_, carry):
-        produced, consumed = carry
+    def round_body(rnd, carry):
+        produced, consumed, waited, viol = carry
         for m in range(nnodes - 1, -1, -1):
             cl, cr = 2 * m + 1, 2 * m + 2
-            al, rl = child_avail(cl, produced, consumed)
-            ar, rr = child_avail(cr, produced, consumed)
+            al, rl = child_avail(cl, produced, consumed, rnd)
+            ar, rr = child_avail(cr, produced, consumed, rnd)
             ready = rl & rr
             space = (produced[m] - consumed[m]) <= (FIFO_TILES - 1) * T \
                 if m != 0 else True
@@ -349,13 +447,13 @@ def _mwaymerge_kernel(
             fire = ready & want & space
 
             def do(c):
-                return fire_node(m, c[0], c[1])
+                return fire_node(m, c[0], c[1], c[2], c[3], rnd)
 
             def skip(c):
                 return c
 
-            produced, consumed = jax.lax.cond(fire, do, skip,
-                                              (produced, consumed))
+            produced, consumed, waited, viol = jax.lax.cond(
+                fire, do, skip, (produced, consumed, waited, viol))
         if leaf_prefetch:
             # refill drained leaf windows for the NEXT round: one fori
             # body with dynamic (c-indexed) buffers/semaphores — the DMA
@@ -373,15 +471,32 @@ def _mwaymerge_kernel(
                 return carry
 
             jax.lax.fori_loop(0, W, _refill, 0)
-        return produced, consumed
+        return produced, consumed, waited, viol
 
     logw = max(1, W - 1).bit_length()
     # trip count from the group's actual total (sub_len[0] is an SMEM read,
     # so the bound is dynamic): ceil(total/T) root fires + warmup rounds
     rounds = (sub_len[0] + T - 1) // T + logw + 2
+    if gate == "emulated":
+        # arrival stalls extend the schedule: after the last arrival round
+        # every leaf is fully delivered and the merge progresses at the
+        # ungated rate, so (last arrival) + (ungated rounds) bounds it
+        mx = jnp.int32(0)
+        for r in range(W):
+            for j in range(max_chunks):
+                mx = jnp.maximum(mx, arrive_ref[r, j])
+        rounds = rounds + mx
     produced0 = tuple(jnp.int32(0) for _ in range(nnodes))
     consumed0 = tuple(jnp.int32(0) for _ in range(2 * nnodes + 1))
-    jax.lax.fori_loop(0, rounds, round_body, (produced0, consumed0))
+    waited0 = tuple(jnp.int32(0) for _ in range(W)) if gate else ()
+    final = jax.lax.fori_loop(
+        0, rounds, round_body,
+        (produced0, consumed0, waited0, jnp.int32(0)))
+    if gate is not None:
+        _, _, waitedF, violF = final
+        for r in range(W):
+            wout[0, r] = waitedF[r]
+        wout[0, W] = violF
     if leaf_prefetch:
         # drain still-pending leaf DMAs (semaphores must be zero at exit)
         def _drain(c, carry):
@@ -578,6 +693,28 @@ def merge_levels(n: int, block_rows: int, fanin: int):
         span *= w
         nruns = -(-nruns // w)
     return levels
+
+
+def merge_levels_2runs(n: int, block_rows: int, fanin: int):
+    """Level schedule that stops at TWO runs instead of one — the final
+    pairwise merge is deleted and its work absorbed by the 4-way-select
+    count kernel (mergejoin.merge_join_count_fused2), saving one tree
+    traversal per element (the last log2 of the composition).  Returns
+    ``(levels, final_stride_rows, final_nruns)`` with final_nruns in
+    {1, 2} (1 = single-block input; caller uses the 1-run count)."""
+    nruns = max(1, sort_ops.cdiv(n, block_rows * LANES))
+    stride, span = block_rows, block_rows * LANES
+    levels = []
+    while nruns > 2:
+        w = min(fanin, 1 << (nruns - 1).bit_length())
+        if w >= nruns:
+            # would finish at 1 run: halve the fan-in so TWO groups remain
+            w = max(2, (1 << (nruns - 1).bit_length()) // 2)
+        levels.append((stride, span, nruns, w))
+        stride *= w
+        span *= w
+        nruns = -(-nruns // w)
+    return levels, stride, nruns
 
 
 def merge_level(ks, ps, n: int, level, tile_rows: int):

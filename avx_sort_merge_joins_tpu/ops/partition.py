@@ -156,9 +156,21 @@ def partition_relation(keys, payloads, nradixbits: int, bitshift: int = 0,
 
     Capacity note: offsets are data-dependent, so the padded output size is
     the worst case n + fanout*align (static shape under jit).
+
+    PERFORMANCE GUARD: this full-partition surface is XLA-scatter-backed,
+    and one random-access scatter pass costs ~998 ms at 128M on v5e (PLAN
+    round-2 feasibility study) — 4x a full multiway sort.  It exists for
+    the partitioning BENCH surface (partition.c parity; the bench labels
+    it scatter-bound) and small inputs only; no join pipeline calls it
+    (the m-way block decomposition replaces physical partitioning at zero
+    HBM cost, models/mway.py).  The assert keeps future callers honest.
     """
     fanout = 1 << nradixbits
     n = keys.shape[0]
+    assert n <= 64_000_000, (
+        "partition_relation is XLA-scatter-backed (~128 Melem/s on v5e) "
+        "and must not be routed into large join pipelines; see PLAN "
+        "round-2 radix feasibility study")
     pid = partition_ids(keys, nradixbits, bitshift)
     idx = jnp.arange(n, dtype=jnp.int32)
     spid, _, ks, ps = jax.lax.sort((pid, idx, keys, payloads), num_keys=2)

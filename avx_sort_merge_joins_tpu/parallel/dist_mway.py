@@ -182,6 +182,40 @@ def _merge_received_pair(rk_flat, rp_flat, counts, n_chips: int, cap: int,
     return k2, p2, total
 
 
+def _merge_received_gated(rk_flat, counts, n_chips: int, cap: int,
+                          tile_rows: int, pull_rate: int, interp: bool):
+    """K-way merge of received runs through the CHUNK-GATED receiver — the
+    arrival-emulated remote-pull merge (remote_fifo.chunk_gated_merge; the
+    reference's readmerge-through-remote-reads,
+    avx_multiwaymerge.c:605-728).  The landing buffer is the bulk
+    exchange's output; an arrival-round schedule shaped like
+    push_schedule's chunk-major walk gates each leaf, so the tree merges
+    exactly as it would under the real chunked push.  Returns
+    (merged2d, total, violation) — violation must stay 0."""
+    from . import remote_fifo as rf
+
+    total = jnp.sum(counts)
+    stride = cap // LANES
+    assert cap % (tile_rows * LANES) == 0
+    rows = n_chips * stride
+    pad_rows = tile_rows + 8
+    nruns = n_chips if n_chips & (n_chips - 1) == 0 else \
+        1 << (n_chips - 1).bit_length()
+    extra = nruns - n_chips
+    k2 = jnp.concatenate(
+        [rk_flat.reshape(rows, LANES),
+         jnp.full((extra * stride + pad_rows, LANES), KEY_POS_INF,
+                  jnp.int32)], axis=0)
+    lens = jnp.concatenate([counts.astype(jnp.int32),
+                            jnp.zeros(extra, jnp.int32)])
+    chunk_elems = rf.pick_chunk_elems(cap, tile_rows * LANES, nruns)
+    arrive = rf.arrival_schedule(nruns, cap // chunk_elems, rate=pull_rate)
+    merged, _waited, viol = rf.chunk_gated_merge(
+        k2, lens, stride, chunk_elems, arrive, tile_rows,
+        interpret=interp)
+    return merged, total, viol
+
+
 def _merge_received(rk_flat, counts, n_chips: int, cap: int,
                     tile_rows: int, fanin: int, use_pallas: bool):
     """K-way merge the received sorted runs into one padded sorted column.
@@ -358,7 +392,8 @@ def _overlap_receive_groups(b2, counts, n_chips: int, cap: int,
 def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
               block_rows: int, tile_rows: int, fanin: int,
               use_pallas: bool, overlap_ok: bool, schedule, hier,
-              interp: bool, env: tuple = ()):
+              interp: bool, remote_pull: Optional[str] = None,
+              pull_rate: int = 1, env: tuple = ()):
     """Cached jitted shard_map pipeline for :func:`dist_mway_join_count`.
 
     Building this inside the public function made every call re-trace the
@@ -404,20 +439,31 @@ def _count_fn(mesh: Mesh, n_chips: int, cap_r: int, cap_s: int,
             gsc = _exchange(sc, n_chips, 1, None, hier) if hier else \
                 jax.lax.all_to_all(sc, AXIS, 0, 0, tiled=True)
             # phase 3: k-way merge of received runs
-            mr2, tr = _merge_received(grk, grc, n_chips, cap_r, tile_rows,
-                                      fanin, use_pallas)
-            ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s, tile_rows,
-                                      fanin, use_pallas)
+            if remote_pull == "emulate":
+                mr2, tr, vr = _merge_received_gated(
+                    grk, grc, n_chips, cap_r, tile_rows, pull_rate, interp)
+                ms2, ts, vs = _merge_received_gated(
+                    gsk, gsc, n_chips, cap_s, tile_rows, pull_rate, interp)
+                gate_viol = (vr + vs).reshape(1)
+            else:
+                mr2, tr = _merge_received(grk, grc, n_chips, cap_r,
+                                          tile_rows, fanin, use_pallas)
+                ms2, ts = _merge_received(gsk, gsc, n_chips, cap_s,
+                                          tile_rows, fanin, use_pallas)
         # phase 4: fused count over the owned key range (limbs recombined
         # host-side in int64)
         stats = mergejoin.merge_join_count_fused(
             mr2, ms2, tr, ts, tile_rows, interpret=interp)
+        if remote_pull == "emulate":
+            return (stats.reshape(1, 3), (ovr + ovs).reshape(1),
+                    gate_viol)
         return stats.reshape(1, 3), (ovr + ovs).reshape(1)
 
+    n_out = 3 if remote_pull == "emulate" else 2
     return jax.jit(shard_map(
         shard_fn, mesh=mesh,
         in_specs=(spec,) * 4,
-        out_specs=(spec, spec),
+        out_specs=(spec,) * n_out,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     ))  # noqa: E501  (jax.shard_map, jax>=0.8)
 
@@ -429,7 +475,9 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
                          use_pallas: Optional[bool] = None,
                          numa_strategy: Optional[str] = None,
                          pre_sharded: bool = False,
-                         overlap: bool = False):
+                         overlap: bool = False,
+                         remote_pull: Optional[str] = None,
+                         pull_rate: int = 1):
     """Distributed m-way equi-join match count over a chip mesh.
 
     Returns (count, overflow) host ints; overflow must be 0 (raise slack).
@@ -452,6 +500,14 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     sortmergejoin_multiway.c:494-518), at the cost of one extra k-way
     pass (groups → final).  Requires a flat mesh, the Pallas pipeline,
     and a power-of-two chip count >= 4; falls back LOUDLY otherwise.
+
+    ``remote_pull="emulate"`` routes phase 3 through the CHUNK-GATED
+    receiver merge (remote_fifo.chunk_gated_merge): the received runs
+    are consumed as if they arrived chunk-by-chunk per the push
+    schedule (``pull_rate`` merge rounds per push round) — the
+    executable form of the remote-pull readmerge
+    (avx_multiwaymerge.c:605-728).  Raises on a gating violation.
+    Requires the Pallas pipeline, a flat mesh, no overlap.
     """
     import sys
 
@@ -479,6 +535,17 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
               f"(use_pallas={use_pallas}, n_chips={n_chips}, "
               f"mesh_axes={mesh.axis_names}); running the bulk "
               "all_to_all path", file=sys.stderr)
+    if remote_pull is not None:
+        if remote_pull != "emulate":
+            raise ValueError(
+                "remote_pull='dma' needs multi-chip TPU hardware "
+                "(SMJ_REMOTE_DMA; see parallel/remote_fifo.py STATUS) — "
+                "only 'emulate' is runnable here")
+        if overlap_ok or hier is not None or not use_pallas:
+            print("[WARN ] remote_pull='emulate' requires the Pallas "
+                  "pipeline on a flat mesh without overlap; running the "
+                  "bulk path", file=sys.stderr)
+            remote_pull = None
     if (overlap_ok and numa_strategy is not None
             and numa_strategy != NumaStrategy.NEXT):
         # flag honesty: the overlap path's ppermute rounds are inherently
@@ -525,13 +592,23 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
     fn = _count_fn(mesh, n_chips, cap_r, cap_s, block_rows, tile_rows,
                    fanin, use_pallas, overlap_ok,
                    tuple(schedule) if schedule is not None else None,
-                   hier, interp, cache.prefetch_env_key())
+                   hier, interp, remote_pull, pull_rate,
+                   cache.prefetch_env_key())
     with sort_ops.force_interpret(interp):
-        stats, overflow = fn(
+        out = fn(
             rk_dev, sk_dev,
             jax.device_put(jnp.asarray(nv_r), sharded),
             jax.device_put(jnp.asarray(nv_s), sharded),
         )
+    if remote_pull == "emulate":
+        stats, overflow, gate_viol = out
+        if int(np.asarray(gate_viol).sum()):
+            raise RuntimeError(
+                "chunk-gated merge read past a delivered prefix — the "
+                "remote-pull gating arithmetic regressed "
+                "(remote_fifo._leaf_gate)")
+    else:
+        stats, overflow = out
     stats = np.asarray(stats, dtype=np.int64)
     if int(stats[:, 2].sum()):
         raise mergejoin.CountLimbOverflow(
@@ -544,7 +621,7 @@ def dist_mway_join_count(rkeys, skeys, n_r: int, n_s: int,
         # (the reference's fixed RELATION_PADDING has no such safety net)
         return dist_mway_join_count(rkeys, skeys, n_r, n_s, mesh, slack * 2,
                   block_rows, tile_rows, fanin, use_pallas, numa_strategy,
-                  pre_sharded, overlap)
+                  pre_sharded, overlap, remote_pull, pull_rate)
     return count, ov
 
 

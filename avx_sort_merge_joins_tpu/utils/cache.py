@@ -27,7 +27,8 @@ def prefetch_env_key() -> tuple:
     in-process toggle (the A/B scripts' usage) silently reuses the other
     variant's executable and mislabels the measurement."""
     return (os.environ.get("SMJ_COUNT_PREFETCH", "1"),
-            os.environ.get("SMJ_LEAF_PREFETCH", "1"))
+            os.environ.get("SMJ_LEAF_PREFETCH", "1"),
+            os.environ.get("SMJ_COUNT2", "0"))
 
 
 def enable_compile_cache() -> None:

@@ -143,3 +143,21 @@ def test_mpsm_zipf_skew(z):
     rk, _ = R.to_numpy()
     sk, _ = S.to_numpy()
     assert res.totalresults == merge_join_count_numpy(rk, sk)
+
+
+def test_workload_a_runbook_entry(capsys, monkeypatch):
+    """The scripts/workload-a.sh entry (BASELINE config #5's one-command
+    runbook), scaled down to CI size: the SAME CLI path the literal
+    1.6B⋈1.6B 8-chip command takes — scale-tier auto-route, sharded
+    on-device generation, pre-sharded dist m-way, Results == |S|, a
+    [RECORD] row.  (tput-scalability.sh:15-16 analog.)"""
+    from avx_sort_merge_joins_tpu import cli
+
+    monkeypatch.setenv("SMJ_SHARDED_GEN_MIN", "1000000")
+    n = 4_000_000
+    rc = cli.main(["-a", "m-way", "-n", "8", "-r", str(n), "-s", str(n)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"Results = {n}" in cap.out
+    assert "[RECORD] m-way 8" in cap.err
+    assert "scale tier" in cap.err
