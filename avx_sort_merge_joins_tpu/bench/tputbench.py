@@ -91,7 +91,36 @@ def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
     gb = ndev * n_per_chip * 4 / 1e9
     print(f"[tputbench] ALL-TO-ALL {secs*1e6:.0f} usecs "
           f"{gb/secs:.1f} GB/s aggregate", file=sys.stderr)
-    print(f"{secs*1e6:.0f} {gb/secs:.2f}")
+
+    # read-only aggregation under the shuffle order — the second half of
+    # the reference's numabench (tputbench.c:665-1171 measures memcpy AND
+    # an aggregation pass over every remote region).  TPUs have no remote
+    # loads, so the analog is ppermute rounds in the strategy's visit
+    # order, each arriving shard reduced into a lane accumulator (read +
+    # reduce, no full-copy materialization of the gathered buffer).
+    rows = n_per_chip // 128
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(AXIS),
+                       out_specs=P(AXIS))
+    def aggregate(v):
+        x2 = v.reshape(-1)[: rows * 128].reshape(rows, 128)
+        acc = jnp.zeros((128,), jnp.int32)
+        for off in order.tolist():
+            off = int(off)
+            if off == 0:
+                y = x2
+            else:
+                perm = [(s, (s - off) % ndev) for s in range(ndev)]
+                y = jax.lax.ppermute(x2, AXIS, perm)
+            acc = acc + jnp.sum(y, axis=0)
+        return acc[None]
+
+    secs_a = common.time_best(aggregate, x, reps=reps)
+    gb_a = ndev * ndev * rows * 128 * 4 / 1e9  # every chip reads all shards
+    print(f"[tputbench] AGGREGATION {secs_a*1e6:.0f} usecs "
+          f"{gb_a/secs_a:.1f} GB/s aggregate read", file=sys.stderr)
+    print(f"{secs*1e6:.0f} {gb/secs:.2f} {secs_a*1e6:.0f} {gb_a/secs_a:.2f}")
     return 0
 
 

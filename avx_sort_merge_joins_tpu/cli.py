@@ -228,7 +228,14 @@ def run_join(args, R, S):
             return _run_dist_materialize(args, R, S, mesh)
         if args.algo == "m-way":
             # phased variant: per-phase dispatches so the record row gets
-            # real SORT/MERGE1/MJOIN columns (joincommon.c:175-196)
+            # real SORT/MERGE1/MJOIN columns (joincommon.c:175-196).
+            # NOTE the per-phase columns from a CPU-mesh run are wall
+            # clock on a 1-core host (virtual devices serialize) — a
+            # phased run on a real TPU slice is the only trustworthy
+            # [RECORD] source for multi-chip phase splits.
+            print("[INFO ] exchange path: bulk all_to_all (overlap=True "
+                  "measured structurally worse — +1 k-way pass, 7x "
+                  "collective ops; PLAN r4 A/B)", file=sys.stderr)
             cnt, overflow, phases = dist_mway.dist_mway_join_phased(
                 R.keys, S.keys, R.num_tuples, S.num_tuples, mesh,
                 fanin=args.partfanout, use_pallas=use_pallas,

@@ -21,6 +21,12 @@ def test_mergebench_smoke(capsys):
 def test_tputbench_numa_smoke(capsys):
     assert tputbench.main(["--mode", "numa", "-n", "8192",
                            "-S", "RANDOM", "--reps", "1"]) == 0
+    cap = capsys.readouterr()
+    # memcpy (all_to_all) AND read-only aggregation rows — both halves of
+    # the reference numabench (tputbench.c:665-1171)
+    assert "ALL-TO-ALL" in cap.err and "AGGREGATION" in cap.err
+    rows = [ln for ln in cap.out.splitlines() if ln.strip()]
+    assert len(rows) == 1 and len(rows[0].split()) == 4
 
 
 def test_tputbench_mpsm_smoke(capsys):
