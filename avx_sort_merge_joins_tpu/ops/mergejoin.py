@@ -26,6 +26,8 @@ Position sums overflow int32, so the reduction returns per-tile
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -732,45 +734,33 @@ def merge_join_count_fused2(rk2d, sk2d, nR: int, nS: int,
 
 
 def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
-                    wah, wal, wbh, wbl, insem, *, tile_rows: int):
+                    wah0, wal0, wbh0, wbl0, wah1, wal1, wbh1, wbl1, insem,
+                    *, tile_rows: int, prefetch: bool = True):
     """KEY_8B fused count: stream-merge two sorted TWO-PLANE (hi, lo)
     int64-key columns and count matches — the engine-path replacement of
     the forced-scalar KEY_8B count (the reference can only run KEY_8B
     through its scalar merge_join, main.c:871-877; the plane-pair lex
-    comparators put it back on the vector engine).  Single-buffered
-    windows (KEY_8B is a capability mode, not the headline); identical
-    segment/limb/overflow machinery to :func:`_count_kernel`."""
+    comparators put it back on the vector engine).  Round-4 sweep
+    (VERDICT r3 #7) applied the V2 medicine: window DMAs double-buffered
+    one tile ahead per plane (``prefetch``, the exact scheme of
+    :func:`_count_kernel` — the 2T+spare window issued from the current
+    cursor always covers the next tile since advance <= T); identical
+    segment/limb/overflow machinery."""
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
 
     T = tile_rows * LANES
-    W8 = tile_rows + 8
+    WIN = (2 * tile_rows + 8) if prefetch else (tile_rows + 8)
     nR = lens_ref[0]
     nS = lens_ref[1]
     total = nR + nS
     ntiles = (total + T - 1) // T
     fidx = bitonic.flat_index((tile_rows, LANES))
 
-    def load(dst, src_hbm, elem, sem):
-        row = jnp.minimum(elem // LANES, src_hbm.shape[0] - W8)
-        cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(row, W8), :], dst, sem)
-        cp.start()
-        return cp, elem % LANES
-
-    def tile_body(t, st):
+    def tile_compute(t, st, ahi, alo, bhi, blo):
         (ea, eb, ck_hi, ck_lo, r_open, s_open, hi, lo, ovf) = st
         avail_a = nR - ea
         avail_b = nS - eb
-        c1, skip_a = load(wah, rhi_hbm, ea, insem.at[0])
-        c2, _ = load(wal, rlo_hbm, ea, insem.at[1])
-        c3, skip_b = load(wbh, shi_hbm, eb, insem.at[2])
-        c4, _ = load(wbl, slo_hbm, eb, insem.at[3])
-        c1.wait(); c2.wait(); c3.wait(); c4.wait()
-        ahi = bitonic.shift_flat(wah[:], skip_a)[:tile_rows]
-        alo = bitonic.shift_flat(wal[:], skip_a)[:tile_rows]
-        bhi = bitonic.shift_flat(wbh[:], skip_b)[:tile_rows]
-        blo = bitonic.shift_flat(wbl[:], skip_b)[:tile_rows]
         va = fidx < avail_a
         vb = fidx < avail_b
         fa = jnp.where(va, 0, 2).astype(jnp.int32)
@@ -828,65 +818,159 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
         return (ea + inc_a, eb + inc_b, ck_hi_n, ck_lo_n, r_new, s_new,
                 hi, lo, ovf)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
-            jnp.int32(KEY_NEG_INF), jnp.int32(0), jnp.int32(0),
-            jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    st = jax.lax.fori_loop(0, ntiles, tile_body, init)
-    _, _, _, _, r_open, s_open, hi, lo, ovf = st
-    ovf = ovf | jnp.where(
-        r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
-        >= jnp.float32(1 << 29), 1, 0)
-    lo = lo + r_open * s_open
-    hi = hi + (lo >> 30)
-    lo = lo & ((1 << 30) - 1)
-    out_ref[0, 0] = hi
-    out_ref[0, 1] = lo
-    out_ref[0, 2] = ovf
+    init9 = (jnp.int32(0), jnp.int32(0), jnp.int32(KEY_NEG_INF),
+             jnp.int32(KEY_NEG_INF), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    def finish(st):
+        _, _, _, _, r_open, s_open, hi, lo, ovf = st
+        ovf = ovf | jnp.where(
+            r_open.astype(jnp.float32) * s_open.astype(jnp.float32)
+            >= jnp.float32(1 << 29), 1, 0)
+        lo = lo + r_open * s_open
+        hi = hi + (lo >> 30)
+        lo = lo & ((1 << 30) - 1)
+        out_ref[0, 0] = hi
+        out_ref[0, 1] = lo
+        out_ref[0, 2] = ovf
+
+    if not prefetch:
+        # single-buffered foil: per-tile DMA + wait at a static offset
+        def load(dst, src_hbm, elem, sem):
+            row = jnp.minimum(elem // LANES, src_hbm.shape[0] - WIN)
+            cp = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(row, WIN), :], dst, sem)
+            cp.start()
+            return cp, elem % LANES
+
+        def tile_body(t, st):
+            c1, skip_a = load(wah0, rhi_hbm, st[0], insem.at[0])
+            c2, _ = load(wal0, rlo_hbm, st[0], insem.at[1])
+            c3, skip_b = load(wbh0, shi_hbm, st[1], insem.at[2])
+            c4, _ = load(wbl0, slo_hbm, st[1], insem.at[3])
+            c1.wait(); c2.wait(); c3.wait(); c4.wait()
+            ahi = bitonic.shift_flat(wah0[:], skip_a)[:tile_rows]
+            alo = bitonic.shift_flat(wal0[:], skip_a)[:tile_rows]
+            bhi = bitonic.shift_flat(wbh0[:], skip_b)[:tile_rows]
+            blo = bitonic.shift_flat(wbl0[:], skip_b)[:tile_rows]
+            return tile_compute(t, st, ahi, alo, bhi, blo)
+
+        finish(jax.lax.fori_loop(0, ntiles, tile_body, init9))
+        return
+
+    # double-buffered: each cursor's (hi, lo) plane pair shares one base
+    def issue(dh, dl, sh_hbm, sl_hbm, elem, s0, s1):
+        row = jnp.minimum(elem // LANES, sh_hbm.shape[0] - WIN)
+        pltpu.make_async_copy(
+            sh_hbm.at[pl.ds(row, WIN), :], dh, insem.at[s0]).start()
+        pltpu.make_async_copy(
+            sl_hbm.at[pl.ds(row, WIN), :], dl, insem.at[s1]).start()
+        return row
+
+    def wait_pair(dh, dl, sh_hbm, sl_hbm, base, s0, s1):
+        pltpu.make_async_copy(
+            sh_hbm.at[pl.ds(base, WIN), :], dh, insem.at[s0]).wait()
+        pltpu.make_async_copy(
+            sl_hbm.at[pl.ds(base, WIN), :], dl, insem.at[s1]).wait()
+
+    def window(buf, elem, base_row):
+        off = elem - base_row * LANES
+        rowoff, skip = off // LANES, off % LANES
+        win = buf[pl.ds(rowoff, tile_rows + 8), :]
+        return bitonic.shift_flat(win, skip)[:tile_rows]
+
+    def guarded(t, st, wins):
+        new = tile_compute(t, st, *wins)
+        live = t < ntiles
+        return tuple(jnp.where(live, n, o) for n, o in zip(new, st))
+
+    # prologue: tile 0's windows into buffer set 0 (sems 0..3)
+    base_a0 = issue(wah0, wal0, rhi_hbm, rlo_hbm, jnp.int32(0), 0, 1)
+    base_b0 = issue(wbh0, wbl0, shi_hbm, slo_hbm, jnp.int32(0), 2, 3)
+    init = init9 + (base_a0, base_b0)
+
+    def pair_body(it, carry):
+        st = carry[:9]
+        base_a, base_b = carry[9], carry[10]
+        t0 = 2 * it
+        # prefetch t0+1 into set 1 (sems 4..7) from the current cursors
+        base_a1 = issue(wah1, wal1, rhi_hbm, rlo_hbm, st[0], 4, 5)
+        base_b1 = issue(wbh1, wbl1, shi_hbm, slo_hbm, st[1], 6, 7)
+        wait_pair(wah0, wal0, rhi_hbm, rlo_hbm, base_a, 0, 1)
+        wait_pair(wbh0, wbl0, shi_hbm, slo_hbm, base_b, 2, 3)
+        st = guarded(t0, st, (
+            window(wah0, st[0], base_a), window(wal0, st[0], base_a),
+            window(wbh0, st[1], base_b), window(wbl0, st[1], base_b)))
+        # prefetch t0+2 into set 0
+        base_a0n = issue(wah0, wal0, rhi_hbm, rlo_hbm, st[0], 0, 1)
+        base_b0n = issue(wbh0, wbl0, shi_hbm, slo_hbm, st[1], 2, 3)
+        wait_pair(wah1, wal1, rhi_hbm, rlo_hbm, base_a1, 4, 5)
+        wait_pair(wbh1, wbl1, shi_hbm, slo_hbm, base_b1, 6, 7)
+        st = guarded(t0 + 1, st, (
+            window(wah1, st[0], base_a1), window(wal1, st[0], base_a1),
+            window(wbh1, st[1], base_b1), window(wbl1, st[1], base_b1)))
+        return st + (base_a0n, base_b0n)
+
+    npairs = (ntiles + 1) // 2
+    final = jax.lax.fori_loop(0, npairs, pair_body, init)
+    # drain the dangling set-0 prefetch
+    wait_pair(wah0, wal0, rhi_hbm, rlo_hbm, final[9], 0, 1)
+    wait_pair(wbh0, wbl0, shi_hbm, slo_hbm, final[10], 2, 3)
+    finish(final[:9])
 
 
 def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
-                             tile_rows: int = 128,
-                             interpret: bool | None = None):
+                             tile_rows: int | None = None,
+                             interpret: bool | None = None,
+                             prefetch: bool | None = None):
     """KEY_8B fused count over sorted (hi, lo) plane layouts (as produced
     by ``join64.sort64(..., return_2d=True)``).  Returns the (1, 3)
     [hi, lo, overflow] stats row; combine with :func:`finish_count_fused`.
+
+    Defaults follow the round-4 v5e sweep (PLAN r4, scripts/exp_key8b.py):
+    tile 256 + double-buffered window prefetch, same optimum as the
+    32-bit V2 kernel; SMJ_COUNT_PREFETCH=0 / SMJ_COUNT64_TILE override.
     """
     import functools as ft
 
     if interpret is None:
         interpret = sort_ops._interpret()
+    if tile_rows is None:
+        tile_rows = int(os.environ.get("SMJ_COUNT64_TILE", "256"))
+    if prefetch is None:
+        prefetch = os.environ.get("SMJ_COUNT_PREFETCH", "1") == "1"
     lens_arr = jnp.stack([jnp.asarray(nR, jnp.int32),
                           jnp.asarray(nS, jnp.int32)])
-    w8 = tile_rows + 8
+    win_rows = (2 * tile_rows + 8) if prefetch else (tile_rows + 8)
 
     def ensure_spare(x, n):
-        # the single-buffered window load clamps its DMA start to
-        # shape - w8 but derives the lane skip from the UNCLAMPED cursor,
-        # so an engaged clamp would misalign the window by whole rows —
-        # guarantee >= tile_rows+8 spare rows past the live data (the
-        # same invariant as merge_join_count_fused) so the clamp never
-        # engages; pad when the static shape cannot prove it
+        # the window loads clamp their DMA start to shape - win_rows but
+        # derive the lane skip from the UNCLAMPED cursor, so an engaged
+        # clamp would misalign the window by whole rows — guarantee
+        # >= win_rows spare rows past the live data (the same invariant
+        # as merge_join_count_fused) so the clamp never engages; pad when
+        # the static shape cannot prove it
         if isinstance(n, (int, np.integer)):
             live = -(-int(n) // LANES)
-            if x.shape[0] - live >= w8:
+            if x.shape[0] - live >= win_rows:
                 return x
-        pad = jnp.full((w8, LANES), KEY_POS_INF, jnp.int32)
+        pad = jnp.full((win_rows, LANES), KEY_POS_INF, jnp.int32)
         return jnp.concatenate([x, pad], axis=0)
 
     rhi2d = ensure_spare(rhi2d, nR)
     rlo2d = ensure_spare(rlo2d, nR)
     shi2d = ensure_spare(shi2d, nS)
     slo2d = ensure_spare(slo2d, nS)
-    win = pltpu.VMEM((w8, LANES), jnp.int32)
+    win = pltpu.VMEM((win_rows, LANES), jnp.int32)
     return pl.pallas_call(
-        ft.partial(_count_kernel64, tile_rows=tile_rows),
+        ft.partial(_count_kernel64, tile_rows=tile_rows,
+                   prefetch=prefetch),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[win, win, win, win,
-                        pltpu.SemaphoreType.DMA((4,))],
+        scratch_shapes=[win] * 8 + [pltpu.SemaphoreType.DMA((8,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, rhi2d, rlo2d, shi2d, slo2d)
