@@ -77,9 +77,13 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
     shi, slo = widen32(jnp.asarray(skeys[:nS], jnp.int32))
     if pallas_sort:
         rh2, rl2 = sort64(rhi, rlo, nR, fanin, return_2d=True)
-        sh2, sl2 = sort64(shi, slo, nS, fanin, return_2d=True)
+        # S sorts as BITWISE-NOT planes (ascending NOT-lex = descending
+        # original): the fused count then reads S windows back-to-front
+        # with one ~ per plane instead of two 14-stage flips per tile
+        # (the plane-pair analog of the m-way model's negated-S trick)
+        sh2, sl2 = sort64(~shi, ~slo, nS, fanin, return_2d=True)
         stats = mergejoin.merge_join_count_fused64(
-            rh2, rl2, sh2, sl2, nR, nS)
+            rh2, rl2, sh2, sl2, nR, nS, s_negated=True)
         # the count comes back as base-2^30 limbs [hi, lo]: recombining
         # on device in int32 would wrap for totals >= 2^31 even with
         # every per-segment product < 2^29 (hi >= 2 overflows hi << 30),
@@ -88,8 +92,10 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
         limbs = stats[0, :2]
         rhi = rh2.reshape(-1)[:nR]
         rlo = rl2.reshape(-1)[:nR]
-        shi = sh2.reshape(-1)[:nS]
-        slo = sl2.reshape(-1)[:nS]
+        # recover ascending original-order S planes from the NOT layout:
+        # S_asc[j] = ~S'_asc[nS-1-j]
+        shi = jnp.flip(~sh2.reshape(-1)[:nS])
+        slo = jnp.flip(~sl2.reshape(-1)[:nS])
         return (rhi, rlo), (shi, slo), limbs, stats[0, 2]
     rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
     shi, slo = jax.lax.sort((shi, slo), num_keys=2)

@@ -735,7 +735,8 @@ def merge_join_count_fused2(rk2d, sk2d, nR: int, nS: int,
 
 def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
                     wah0, wal0, wbh0, wbl0, wah1, wal1, wbh1, wbl1, insem,
-                    *, tile_rows: int, prefetch: bool = True):
+                    *, tile_rows: int, prefetch: bool = True,
+                    s_negated: bool = False):
     """KEY_8B fused count: stream-merge two sorted TWO-PLANE (hi, lo)
     int64-key columns and count matches — the engine-path replacement of
     the forced-scalar KEY_8B count (the reference can only run KEY_8B
@@ -745,7 +746,14 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
     one tile ahead per plane (``prefetch``, the exact scheme of
     :func:`_count_kernel` — the 2T+spare window issued from the current
     cursor always covers the next tile since advance <= T); identical
-    segment/limb/overflow machinery."""
+    segment/limb/overflow machinery.
+
+    ``s_negated``: the S planes hold the BITWISE-NOT planes sorted
+    ascending (~ is order-reversing and total on int32, and NOT of both
+    planes reverses the (hi, lo) lex order — the plane-pair analog of
+    the 32-bit kernel's negated-S trick); the kernel reads S windows
+    back-to-front and applies one elementwise ~ per plane, replacing the
+    two 14-stage flip_flat calls per tile."""
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
 
@@ -757,19 +765,35 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
     ntiles = (total + T - 1) // T
     fidx = bitonic.flat_index((tile_rows, LANES))
 
+    def b_elem(eb):
+        # backward physical cursor through the NOT-plane column (which
+        # carries a T-element front guard, see merge_join_count_fused64)
+        return nS - eb if s_negated else eb
+
+    def b_issue_elem(eb):
+        return jnp.maximum(0, nS - eb - T) if s_negated else eb
+
     def tile_compute(t, st, ahi, alo, bhi, blo):
         (ea, eb, ck_hi, ck_lo, r_open, s_open, hi, lo, ovf) = st
         avail_a = nR - ea
         avail_b = nS - eb
         va = fidx < avail_a
-        vb = fidx < avail_b
         fa = jnp.where(va, 0, 2).astype(jnp.int32)
         ahi = jnp.where(va, ahi, KEY_POS_INF)
         alo = jnp.where(va, alo, KEY_POS_INF)
-        bhi = jnp.where(vb, bhi, KEY_POS_INF)
-        blo = jnp.where(vb, blo, KEY_POS_INF)
-        bhi_r = bitonic.flip_flat(bhi)
-        blo_r = bitonic.flip_flat(blo)
+        if s_negated:
+            # window loaded back-to-front from the NOT-plane column:
+            # position x holds ~S_asc[eb + T-1-x] — one elementwise NOT
+            # per plane recovers flip(window)
+            in_tail = fidx >= T - avail_b
+            bhi_r = jnp.where(in_tail, ~bhi, KEY_POS_INF)
+            blo_r = jnp.where(in_tail, ~blo, KEY_POS_INF)
+        else:
+            vb = fidx < avail_b
+            bhi = jnp.where(vb, bhi, KEY_POS_INF)
+            blo = jnp.where(vb, blo, KEY_POS_INF)
+            bhi_r = bitonic.flip_flat(bhi)
+            blo_r = bitonic.flip_flat(blo)
         fb_r = jnp.where(fidx >= T - avail_b, 1, 2).astype(jnp.int32)
         le = bitonic._lex2_le(ahi, alo, bhi_r, blo_r)
         hhi = jnp.where(le, ahi, bhi_r)
@@ -846,8 +870,8 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
         def tile_body(t, st):
             c1, skip_a = load(wah0, rhi_hbm, st[0], insem.at[0])
             c2, _ = load(wal0, rlo_hbm, st[0], insem.at[1])
-            c3, skip_b = load(wbh0, shi_hbm, st[1], insem.at[2])
-            c4, _ = load(wbl0, slo_hbm, st[1], insem.at[3])
+            c3, skip_b = load(wbh0, shi_hbm, b_elem(st[1]), insem.at[2])
+            c4, _ = load(wbl0, slo_hbm, b_elem(st[1]), insem.at[3])
             c1.wait(); c2.wait(); c3.wait(); c4.wait()
             ahi = bitonic.shift_flat(wah0[:], skip_a)[:tile_rows]
             alo = bitonic.shift_flat(wal0[:], skip_a)[:tile_rows]
@@ -886,7 +910,8 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
 
     # prologue: tile 0's windows into buffer set 0 (sems 0..3)
     base_a0 = issue(wah0, wal0, rhi_hbm, rlo_hbm, jnp.int32(0), 0, 1)
-    base_b0 = issue(wbh0, wbl0, shi_hbm, slo_hbm, jnp.int32(0), 2, 3)
+    base_b0 = issue(wbh0, wbl0, shi_hbm, slo_hbm,
+                    b_issue_elem(jnp.int32(0)), 2, 3)
     init = init9 + (base_a0, base_b0)
 
     def pair_body(it, carry):
@@ -895,20 +920,24 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
         t0 = 2 * it
         # prefetch t0+1 into set 1 (sems 4..7) from the current cursors
         base_a1 = issue(wah1, wal1, rhi_hbm, rlo_hbm, st[0], 4, 5)
-        base_b1 = issue(wbh1, wbl1, shi_hbm, slo_hbm, st[1], 6, 7)
+        base_b1 = issue(wbh1, wbl1, shi_hbm, slo_hbm,
+                        b_issue_elem(st[1]), 6, 7)
         wait_pair(wah0, wal0, rhi_hbm, rlo_hbm, base_a, 0, 1)
         wait_pair(wbh0, wbl0, shi_hbm, slo_hbm, base_b, 2, 3)
         st = guarded(t0, st, (
             window(wah0, st[0], base_a), window(wal0, st[0], base_a),
-            window(wbh0, st[1], base_b), window(wbl0, st[1], base_b)))
+            window(wbh0, b_elem(st[1]), base_b),
+            window(wbl0, b_elem(st[1]), base_b)))
         # prefetch t0+2 into set 0
         base_a0n = issue(wah0, wal0, rhi_hbm, rlo_hbm, st[0], 0, 1)
-        base_b0n = issue(wbh0, wbl0, shi_hbm, slo_hbm, st[1], 2, 3)
+        base_b0n = issue(wbh0, wbl0, shi_hbm, slo_hbm,
+                         b_issue_elem(st[1]), 2, 3)
         wait_pair(wah1, wal1, rhi_hbm, rlo_hbm, base_a1, 4, 5)
         wait_pair(wbh1, wbl1, shi_hbm, slo_hbm, base_b1, 6, 7)
         st = guarded(t0 + 1, st, (
             window(wah1, st[0], base_a1), window(wal1, st[0], base_a1),
-            window(wbh1, st[1], base_b1), window(wbl1, st[1], base_b1)))
+            window(wbh1, b_elem(st[1]), base_b1),
+            window(wbl1, b_elem(st[1]), base_b1)))
         return st + (base_a0n, base_b0n)
 
     npairs = (ntiles + 1) // 2
@@ -922,7 +951,8 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
 def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
                              tile_rows: int | None = None,
                              interpret: bool | None = None,
-                             prefetch: bool | None = None):
+                             prefetch: bool | None = None,
+                             s_negated: bool = False):
     """KEY_8B fused count over sorted (hi, lo) plane layouts (as produced
     by ``join64.sort64(..., return_2d=True)``).  Returns the (1, 3)
     [hi, lo, overflow] stats row; combine with :func:`finish_count_fused`.
@@ -930,6 +960,12 @@ def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
     Defaults follow the round-4 v5e sweep (PLAN r4, scripts/exp_key8b.py):
     tile 256 + double-buffered window prefetch, same optimum as the
     32-bit V2 kernel; SMJ_COUNT_PREFETCH=0 / SMJ_COUNT64_TILE override.
+
+    ``s_negated``: ``shi2d``/``slo2d`` hold the BITWISE-NOT planes sorted
+    ascending (= S descending by original key; produced by sorting
+    ``(~shi, ~slo)``) — the kernel reads S windows back-to-front and
+    applies one ~ per plane instead of two 14-stage flip_flat calls per
+    tile (the plane-pair analog of the 32-bit negated-S trick).
     """
     import functools as ft
 
@@ -961,10 +997,17 @@ def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
     rlo2d = ensure_spare(rlo2d, nR)
     shi2d = ensure_spare(shi2d, nS)
     slo2d = ensure_spare(slo2d, nS)
+    if s_negated:
+        # front guard of exactly T elements so the backward cursor's
+        # physical window start nS - eb never goes negative (guard values
+        # are never read into valid positions — any sentinel works)
+        guard = jnp.full((tile_rows, LANES), KEY_POS_INF, jnp.int32)
+        shi2d = jnp.concatenate([guard, shi2d], axis=0)
+        slo2d = jnp.concatenate([guard, slo2d], axis=0)
     win = pltpu.VMEM((win_rows, LANES), jnp.int32)
     return pl.pallas_call(
         ft.partial(_count_kernel64, tile_rows=tile_rows,
-                   prefetch=prefetch),
+                   prefetch=prefetch, s_negated=s_negated),
         out_shape=jax.ShapeDtypeStruct((1, 3), jnp.int32),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +

@@ -56,6 +56,32 @@ def run_case(n: int, reps: int):
             print(f"[exp_key8b] n={n} tile={tile} prefetch={int(pf)}: "
                   f"{secs*1e3:.1f} ms  {2*n/secs/1e6:.1f} Mt/s (count exact)",
                   flush=True)
+    # negated (NOT-plane) S layout: back-to-front windows + 1 elementwise
+    # ~ per plane replace the two 14-stage flips per tile (the plane-pair
+    # analog of the 32-bit negated-S trick); needs S sorted as ~planes
+    snh2, snl2 = sort(~shi, ~slo)
+    float(jnp.sum(snh2[:1, :1]))
+    for tile in (256,):
+        fn = jax.jit(lambda a, b, c, d, t=tile:
+                     mergejoin.merge_join_count_fused64(
+                         a, b, c, d, n, n, tile_rows=t, prefetch=True,
+                         s_negated=True))
+        t0 = time.perf_counter()
+        st = fn(rh2, rl2, snh2, snl2)
+        st_h = np.asarray(st)
+        print(f"[exp_key8b] n={n} tile={tile} NEG+pf: compile+warm "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        assert st_h[0, 2] == 0
+        cnt = (int(st_h[0, 0]) << 30) + int(st_h[0, 1])
+        assert cnt == n, (tile, "neg", cnt, n)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st = fn(rh2, rl2, snh2, snl2)
+        float(jnp.sum(st[:1, :1]))
+        secs = (time.perf_counter() - t0) / reps
+        results[(tile, "neg")] = secs
+        print(f"[exp_key8b] n={n} tile={tile} NEG+pf: {secs*1e3:.1f} ms  "
+              f"{2*n/secs/1e6:.1f} Mt/s (count exact)", flush=True)
     base = results[(128, False)]
     best = min(results, key=results.get)
     print(f"[exp_key8b] n={n}: baseline tile128/single "

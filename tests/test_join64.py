@@ -47,7 +47,7 @@ def test_key8b_join_count_end_to_end(rng):
     nR, nS = 30000, 45000
     rk = rng.integers(1, 8000, nR).astype(np.int32)
     sk = rng.integers(1, 8000, nS).astype(np.int32)
-    (rhi, rlo), _, limbs, ovf = join64.key8b_join_count(
+    (rhi, rlo), (shi, slo), limbs, ovf = join64.key8b_join_count(
         jnp.asarray(rk), jnp.asarray(sk), nR, nS)
     assert int(ovf) == 0
     assert join64.finish_count64(limbs) == join64.merge_join_count_numpy64(
@@ -55,6 +55,10 @@ def test_key8b_join_count_end_to_end(rng):
     # the sorted planes really are the Pallas sort's output
     got = join64.join64(np.asarray(rhi), np.asarray(rlo))
     np.testing.assert_array_equal(got, np.sort(rk.astype(np.int64)))
+    # S sorts through the NOT-plane (negated) layout; the returned planes
+    # must still be ascending original order
+    got_s = join64.join64(np.asarray(shi), np.asarray(slo))
+    np.testing.assert_array_equal(got_s, np.sort(sk.astype(np.int64)))
 
 
 def test_key8b_scalar_sort_path(rng):
@@ -93,7 +97,17 @@ def test_fused64_wide_keys_vs_oracle(rng):
     sh2, sl2 = layout(shi, slo, nS)
     stats = mergejoin.merge_join_count_fused64(rh2, rl2, sh2, sl2, nR, nS)
     got = mergejoin.finish_count_fused(stats)
-    assert got == join64.merge_join_count_numpy64(rk, sk)
+    want = join64.merge_join_count_numpy64(rk, sk)
+    assert got == want
+
+    # s_negated parity: the same count through the NOT-plane layout
+    # (~S planes sorted ascending = S descending; back-to-front windows)
+    snot = np.sort(sk)[::-1]  # descending originals
+    nh, nl = join64.split64(snot)
+    sh2n, sl2n = layout(np.invert(nh), np.invert(nl), nS)
+    stats_n = mergejoin.merge_join_count_fused64(
+        rh2, rl2, sh2n, sl2n, nR, nS, s_negated=True)
+    assert mergejoin.finish_count_fused(stats_n) == want
 
 
 def test_count64_vs_oracle(rng):
