@@ -128,3 +128,58 @@ def test_finish_count64_no_int32_wrap():
     device int32 (the bug this helper replaces) — host Python ints don't."""
     assert join64.finish_count64(np.array([3, 7], np.int32)) == 3 * 2**30 + 7
     assert join64.finish_count64(np.array([8, 0], np.int32)) == 2**33
+
+
+def test_fused64_edge_sizes(rng):
+    """Tiny/odd sizes through the fused plane-lex kernel in BOTH window
+    modes and both S layouts: single partial tile (pair-loop overshoot),
+    exactly one tile, one-past-a-tile, asymmetric tiny sides.  The
+    sentinel-repair lesson (PLAN r2) says boundary arithmetic bugs hide
+    at exactly these shapes."""
+    from avx_sort_merge_joins_tpu.ops import mergejoin
+    from avx_sort_merge_joins_tpu.ops import sort as so
+    from avx_sort_merge_joins_tpu.ops.bitonic import KEY_POS_INF, LANES
+
+    tile = 128
+    T = tile * LANES
+
+    def layout(vals64, n):
+        hi, lo = join64.split64(np.sort(vals64))
+        rows = so.padded_rows(max(n, 1), 128, 128)
+        h = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(hi))
+        l = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(lo))
+        return h.reshape(rows, LANES), l.reshape(rows, LANES)
+
+    def layout_not(vals64, n):
+        nh, nl = join64.split64(np.sort(vals64)[::-1])
+        return layout_planes(np.invert(nh), np.invert(nl), n)
+
+    def layout_planes(hi, lo, n):
+        rows = so.padded_rows(max(n, 1), 128, 128)
+        h = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(hi))
+        l = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
+            .set(jnp.asarray(lo))
+        return h.reshape(rows, LANES), l.reshape(rows, LANES)
+
+    for nR, nS in [(1, 1), (5, 3), (T - 1, 7), (T, T), (T + 1, T - 1),
+                   (2 * T + 3, 11)]:
+        rk = rng.integers(0, 50, nR).astype(np.int64)
+        sk = rng.integers(0, 50, nS).astype(np.int64)
+        want = join64.merge_join_count_numpy64(rk, sk)
+        rh2, rl2 = layout(rk, nR)
+        for prefetch in (False, True):
+            sh2, sl2 = layout(sk, nS)
+            stats = mergejoin.merge_join_count_fused64(
+                rh2, rl2, sh2, sl2, nR, nS, tile_rows=tile,
+                prefetch=prefetch)
+            got = mergejoin.finish_count_fused(stats)
+            assert got == want, (nR, nS, prefetch, got, want)
+            snh2, snl2 = layout_not(sk, nS)
+            stats_n = mergejoin.merge_join_count_fused64(
+                rh2, rl2, snh2, snl2, nR, nS, tile_rows=tile,
+                prefetch=prefetch, s_negated=True)
+            got_n = mergejoin.finish_count_fused(stats_n)
+            assert got_n == want, (nR, nS, prefetch, "neg", got_n, want)
