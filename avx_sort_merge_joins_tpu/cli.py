@@ -171,11 +171,15 @@ def _run_scale_tier(args) -> int:
           f"{args.r_size}⋈{args.s_size} over {args.nthreads} chips",
           file=sys.stderr)
     t0 = time.perf_counter()
-    cnt, overflow = scale.workload_a_join_count(
+    # phased dispatches give the [RECORD] row real SORT/MERGE1/MJOIN
+    # columns (joincommon.c:175-196); NOTE on a CPU dryrun mesh the
+    # phase columns are 1-core wall clock — only a real-TPU-slice run
+    # of this tier is a trustworthy multi-chip record source
+    cnt, overflow, phases = scale.workload_a_join_count(
         args.r_size, args.s_size, mesh, seed=args.r_seed,
         s_seed=args.s_seed,
         fanin=args.partfanout, skew=args.skew,
-        slack=4.0 if args.skew > 0 else 2.0)
+        slack=4.0 if args.skew > 0 else 2.0, phased=True)
     dt = time.perf_counter() - t0
     if overflow:
         print(f"[ERROR] exchange bucket overflow ({overflow})",
@@ -186,7 +190,7 @@ def _run_scale_tier(args) -> int:
           f"TUPLES-PER-SECOND {nt/dt:.0f}", file=sys.stderr)
     from .utils import profiling
     print(profiling.record_line(args.algo, args.nthreads, args.r_size,
-                                args.s_size, 0, {"total": dt}),
+                                args.s_size, 0, phases),
           file=sys.stderr)
     print(f"Results = {cnt}")
     return 0

@@ -685,7 +685,8 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
                           block_rows: int = 256, tile_rows: int = 128,
                           fanin: int = 16,
                           use_pallas: Optional[bool] = None,
-                          numa_strategy: Optional[str] = None):
+                          numa_strategy: Optional[str] = None,
+                          pre_sharded: bool = False):
     """Distributed m-way count with PER-PHASE timing: three separately
     dispatched shard_map programs (local sort | exchange + k-way merge |
     fused count) with a device sync between each, so multi-chip runs
@@ -696,6 +697,10 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     sort/merge1/mergejoin/total to seconds.  The fused single-dispatch
     path (:func:`dist_mway_join_count`) stays the throughput surface —
     the phase syncs cost two extra dispatch round-trips.
+
+    ``pre_sharded``: rkeys/skeys are already (n_chips, shard) device
+    arrays laid out with this mesh's sharding (the workload-A scale
+    tier) — sizes must divide evenly by n_chips.
     """
     import time as _time
 
@@ -723,12 +728,17 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     nv_s = exchange_valid_counts(n_s, shard_s, n_chips)
     sharded = NamedSharding(mesh, spec)
 
-    rk_dev = jax.device_put(
-        ex.pad_column(rkeys[:n_r], shard_r * n_chips,
-                      KEY_POS_INF).reshape(n_chips, shard_r), sharded)
-    sk_dev = jax.device_put(
-        ex.pad_column(skeys[:n_s], shard_s * n_chips,
-                      KEY_POS_INF).reshape(n_chips, shard_s), sharded)
+    if pre_sharded:
+        assert rkeys.shape == (n_chips, shard_r), rkeys.shape
+        assert skeys.shape == (n_chips, shard_s), skeys.shape
+        rk_dev, sk_dev = rkeys, skeys
+    else:
+        rk_dev = jax.device_put(
+            ex.pad_column(rkeys[:n_r], shard_r * n_chips,
+                          KEY_POS_INF).reshape(n_chips, shard_r), sharded)
+        sk_dev = jax.device_put(
+            ex.pad_column(skeys[:n_s], shard_s * n_chips,
+                          KEY_POS_INF).reshape(n_chips, shard_s), sharded)
     nvr_dev = jax.device_put(jnp.asarray(nv_r), sharded)
     nvs_dev = jax.device_put(jnp.asarray(nv_s), sharded)
 
@@ -766,5 +776,5 @@ def dist_mway_join_phased(rkeys, skeys, n_r: int, n_s: int,
     if ov > 0 and slack < 16.0:
         return dist_mway_join_phased(rkeys, skeys, n_r, n_s, mesh, slack * 2,
                                      block_rows, tile_rows, fanin,
-                                     use_pallas, numa_strategy)
+                                     use_pallas, numa_strategy, pre_sharded)
     return count, ov, phases

@@ -123,16 +123,27 @@ def workload_a_join_count(n_r: int, n_s: int,
                           use_pallas: Optional[bool] = None,
                           fanin: int = 16, skew: float = 0.0,
                           slack: float = 2.0,
-                          s_seed: Optional[int] = None):
+                          s_seed: Optional[int] = None,
+                          phased: bool = False):
     """End-to-end workload-A m-way count join: sharded on-device datagen →
     distributed m-way.  Returns (count, overflow); count must equal |S|
     (every fk — uniform or Zipf — matches exactly one of the unique keys
-    1..|R|)."""
+    1..|R|).
+
+    ``phased=True`` dispatches through the per-phase variant and returns
+    ``(count, overflow, phases)`` so the scale tier's [RECORD] row gets
+    real SORT / MERGE1 / MJOIN columns (joincommon.c:175-196) instead of
+    zeros — at the cost of two extra dispatch syncs.
+    """
     from . import dist_mway
 
     mesh = mesh or make_mesh()
     rk, sk = make_workload_a_sharded(n_r, n_s, mesh, seed, skew,
                                      s_seed=s_seed)
+    if phased:
+        return dist_mway.dist_mway_join_phased(
+            rk, sk, n_r, n_s, mesh, fanin=fanin, use_pallas=use_pallas,
+            pre_sharded=True, slack=slack)
     return dist_mway.dist_mway_join_count(
         rk, sk, n_r, n_s, mesh, fanin=fanin, use_pallas=use_pallas,
         pre_sharded=True, slack=slack)
