@@ -47,6 +47,13 @@ def run_case(n: int, reps: int):
             assert st_h[0, 2] == 0
             cnt = (int(st_h[0, 0]) << 30) + int(st_h[0, 1])
             assert cnt == n, (tile, pf, cnt, n)
+            # steady-state warmup: the FIRST timed loop of a session reads
+            # 1.7x high even after the compile dispatch (tunnel/device
+            # ramp — measured 87.1 -> 50.3 ms for the identical variant
+            # re-timed at the end; r4 session) — burn a few reps first
+            for _ in range(3):
+                st = fn(rh2, rl2, sh2, sl2)
+            float(jnp.sum(st[:1, :1]))
             t0 = time.perf_counter()
             for _ in range(reps):
                 st = fn(rh2, rl2, sh2, sl2)
