@@ -49,3 +49,21 @@ def test_mway_negative_keys(rng):
     sk = rng.integers(-(2**28), 2**28, nS).astype(np.int32)
     res = sortmergejoin_multiway(_rel(rk, rng), _rel(sk, rng))
     assert res.totalresults == merge_join_count_numpy(rk, sk)
+
+
+def test_mway_count2_variant(rng, monkeypatch):
+    """SMJ_COUNT2=1 routes the count through merge_levels_2runs + the
+    4-way-select kernel (the round-4 fused-last-level A/B surface —
+    measured slower, kept as a documented knob; PLAN r4).  Must stay
+    EXACT on nonunique keys: sizes chosen so both compositions stop at
+    two runs with a ragged second run."""
+    nR, nS = 150_000, 90_000  # > 1 block (block 512 = 64K), non-pow2
+    rk = rng.integers(1, 9_000, nR).astype(np.int32)
+    sk = rng.integers(1, 9_000, nS).astype(np.int32)
+    want = merge_join_count_numpy(rk, sk)
+    monkeypatch.setenv("SMJ_COUNT2", "1")
+    res = sortmergejoin_multiway(_rel(rk, rng), _rel(sk, rng))
+    assert res.totalresults == want
+    monkeypatch.setenv("SMJ_COUNT2", "0")
+    res0 = sortmergejoin_multiway(_rel(rk, rng), _rel(sk, rng))
+    assert res0.totalresults == want
