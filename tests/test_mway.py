@@ -67,3 +67,18 @@ def test_mway_count2_variant(rng, monkeypatch):
     monkeypatch.setenv("SMJ_COUNT2", "0")
     res0 = sortmergejoin_multiway(_rel(rk, rng), _rel(sk, rng))
     assert res0.totalresults == want
+
+
+def test_mway_prefetch_knobs_off(rng, monkeypatch):
+    """SMJ_COUNT_PREFETCH=0 / SMJ_LEAF_PREFETCH=0 select the
+    single-buffered kernel variants (the A/B foils of PLAN r3/r4) — they
+    must stay exact, not just the defaults.  One joint run covers the
+    leaf-window path (multiwaymerge) and the count-window path
+    (mergejoin) together."""
+    monkeypatch.setenv("SMJ_COUNT_PREFETCH", "0")
+    monkeypatch.setenv("SMJ_LEAF_PREFETCH", "0")
+    nR, nS = 140_000, 100_000
+    rk = rng.integers(1, 7_000, nR).astype(np.int32)
+    sk = rng.integers(1, 7_000, nS).astype(np.int32)
+    res = sortmergejoin_multiway(_rel(rk, rng), _rel(sk, rng))
+    assert res.totalresults == merge_join_count_numpy(rk, sk)
