@@ -11,6 +11,7 @@ XLA_FLAGS=--xla_force_host_platform_device_count=N to simulate).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -172,15 +173,24 @@ def _run_scale_tier(args) -> int:
           file=sys.stderr)
     t0 = time.perf_counter()
     # phased dispatches give the [RECORD] row real SORT/MERGE1/MJOIN
-    # columns (joincommon.c:175-196); NOTE on a CPU dryrun mesh the
-    # phase columns are 1-core wall clock — only a real-TPU-slice run
-    # of this tier is a trustworthy multi-chip record source
-    cnt, overflow, phases = scale.workload_a_join_count(
+    # columns (joincommon.c:175-196) at the cost of two extra dispatch
+    # syncs (~25-33 ms each through the axon tunnel) — SMJ_SCALE_PHASED=0
+    # selects the fused single-dispatch path when raw throughput is the
+    # point.  NOTE on a CPU dryrun mesh the phase columns are 1-core
+    # wall clock — only a real-TPU-slice run of this tier is a
+    # trustworthy multi-chip record source
+    phased = os.environ.get("SMJ_SCALE_PHASED", "1") == "1"
+    out = scale.workload_a_join_count(
         args.r_size, args.s_size, mesh, seed=args.r_seed,
         s_seed=args.s_seed,
         fanin=args.partfanout, skew=args.skew,
-        slack=4.0 if args.skew > 0 else 2.0, phased=True)
+        slack=4.0 if args.skew > 0 else 2.0, phased=phased)
     dt = time.perf_counter() - t0
+    if phased:
+        cnt, overflow, phases = out
+    else:
+        cnt, overflow = out
+        phases = {"total": dt}
     if overflow:
         print(f"[ERROR] exchange bucket overflow ({overflow})",
               file=sys.stderr)

@@ -61,7 +61,7 @@ def widen32(keys):
 
 
 def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
-                     pallas_sort: bool = True):
+                     pallas_sort: bool = True, recover_s: bool = False):
     """End-to-end KEY_8B count join on int32-valued key streams widened
     to 64-bit planes: Pallas plane-pair multiway sort + the fused
     plane-lex count kernel (both beyond the reference — its KEY_8B build
@@ -70,7 +70,10 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
     forced-scalar analog end to end (XLA plane sort + tag-sort count).
     Returns (sorted_r_planes, sorted_s_planes, count_limbs, ovf) — combine
     the base-2^30 limbs with :func:`finish_count64` (host, exact) — so
-    callers can phase-time sort vs count."""
+    callers can phase-time sort vs count.  On the Pallas path S planes
+    come back in the NOT layout (S descending) unless ``recover_s=True``
+    converts them to ascending original order (two O(nS) flips — opt-in
+    so the count-only CLI path doesn't pay for outputs it discards)."""
     from . import mergejoin
 
     rhi, rlo = widen32(jnp.asarray(rkeys[:nR], jnp.int32))
@@ -92,10 +95,16 @@ def key8b_join_count(rkeys, skeys, nR: int, nS: int, fanin: int = 16,
         limbs = stats[0, :2]
         rhi = rh2.reshape(-1)[:nR]
         rlo = rl2.reshape(-1)[:nR]
-        # recover ascending original-order S planes from the NOT layout:
-        # S_asc[j] = ~S'_asc[nS-1-j]
-        shi = jnp.flip(~sh2.reshape(-1)[:nS])
-        slo = jnp.flip(~sl2.reshape(-1)[:nS])
+        # S planes come back in the NOT layout (ascending NOT-lex = S
+        # descending).  ``recover_s`` converts to ascending original
+        # order — S_asc[j] = ~S'_asc[nS-1-j] — at the cost of two O(nS)
+        # flip passes, so it is OPT-IN: the CLI path discards the planes
+        # and must not pay for (un-DCE-able) jit outputs it never reads.
+        shi = sh2.reshape(-1)[:nS]
+        slo = sl2.reshape(-1)[:nS]
+        if recover_s:
+            shi = jnp.flip(~shi)
+            slo = jnp.flip(~slo)
         return (rhi, rlo), (shi, slo), limbs, stats[0, 2]
     rhi, rlo = jax.lax.sort((rhi, rlo), num_keys=2)
     shi, slo = jax.lax.sort((shi, slo), num_keys=2)

@@ -734,8 +734,8 @@ def merge_join_count_fused2(rk2d, sk2d, nR: int, nS: int,
 
 
 def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
-                    wah0, wal0, wbh0, wbl0, wah1, wal1, wbh1, wbl1, insem,
-                    *, tile_rows: int, prefetch: bool = True,
+                    *scratch,
+                    tile_rows: int, prefetch: bool = True,
                     s_negated: bool = False):
     """KEY_8B fused count: stream-merge two sorted TWO-PLANE (hi, lo)
     int64-key columns and count matches — the engine-path replacement of
@@ -756,6 +756,13 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
     two 14-stage flip_flat calls per tile."""
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
+
+    # scratch: one window buffer set of 4 (single-buffered) or two sets
+    # of 4 (prefetch ping-pong), then the DMA semaphore array
+    insem = scratch[-1]
+    wah0, wal0, wbh0, wbl0 = scratch[0:4]
+    if prefetch:
+        wah1, wal1, wbh1, wbl1 = scratch[4:8]
 
     T = tile_rows * LANES
     WIN = (2 * tile_rows + 8) if prefetch else (tile_rows + 8)
@@ -1005,6 +1012,7 @@ def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
         shi2d = jnp.concatenate([guard, shi2d], axis=0)
         slo2d = jnp.concatenate([guard, slo2d], axis=0)
     win = pltpu.VMEM((win_rows, LANES), jnp.int32)
+    nbuf = 8 if prefetch else 4  # the single-buffer foil stays lean
     return pl.pallas_call(
         ft.partial(_count_kernel64, tile_rows=tile_rows,
                    prefetch=prefetch, s_negated=s_negated),
@@ -1013,7 +1021,7 @@ def merge_join_count_fused64(rhi2d, rlo2d, shi2d, slo2d, nR: int, nS: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
                  [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        scratch_shapes=[win] * 8 + [pltpu.SemaphoreType.DMA((8,))],
+        scratch_shapes=[win] * nbuf + [pltpu.SemaphoreType.DMA((nbuf,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lens_arr, rhi2d, rlo2d, shi2d, slo2d)

@@ -28,7 +28,8 @@ def prefetch_env_key() -> tuple:
     variant's executable and mislabels the measurement."""
     return (os.environ.get("SMJ_COUNT_PREFETCH", "1"),
             os.environ.get("SMJ_LEAF_PREFETCH", "1"),
-            os.environ.get("SMJ_COUNT2", "0"))
+            os.environ.get("SMJ_COUNT2", "0"),
+            os.environ.get("SMJ_COUNT64_TILE", "256"))
 
 
 def enable_compile_cache() -> None:

@@ -81,6 +81,9 @@ def run_case(n: int, reps: int):
         assert st_h[0, 2] == 0
         cnt = (int(st_h[0, 0]) << 30) + int(st_h[0, 1])
         assert cnt == n, (tile, "neg", cnt, n)
+        for _ in range(3):  # same steady-state burn as the other variants
+            st = fn(rh2, rl2, snh2, snl2)
+        float(jnp.sum(st[:1, :1]))
         t0 = time.perf_counter()
         for _ in range(reps):
             st = fn(rh2, rl2, snh2, snl2)

@@ -45,20 +45,28 @@ from jax.sharding import NamedSharding  # noqa: E402
 
 BLOCK_ROWS, TILE_ROWS, FANIN = 256, 128, 16
 
-# optimized-HLO collective ops: "s32[8,16384]{1,0} all-to-all(...)"
-_COLL_RE = re.compile(
-    r"(\w+)\[([\d,]*)\][^=]*?\b(all-to-all|collective-permute)\(")
+# optimized-HLO collective ops.  XLA lowers a shard_map all_to_all to a
+# TUPLE-result op — "(s32[128]{0}, s32[128]{0}, ...) all-to-all(...)" —
+# so the byte count must sum EVERY leaf shape of the result type, not
+# just the first (found by running this parser against real XLA:CPU
+# optimized HLO; the first-shape version undercounted by ~n_chips x).
+_LINE_RE = re.compile(r"= ([^=]*?)\s*\b(all-to-all|collective-permute)\(")
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _DTYPE_BYTES = {"s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
                 "pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2}
 
 
 def _collective_stats(hlo_text: str):
     ops = {"all-to-all": [0, 0], "collective-permute": [0, 0]}
-    for m in _COLL_RE.finditer(hlo_text):
-        dt, dims, kind = m.groups()
-        n = int(np.prod([int(d) for d in dims.split(",") if d])) if dims else 1
+    for m in _LINE_RE.finditer(hlo_text):
+        restype, kind = m.groups()
         ops[kind][0] += 1
-        ops[kind][1] += n * _DTYPE_BYTES.get(dt, 4)
+        for dt, dims in _SHAPE_RE.findall(restype):
+            if dt not in _DTYPE_BYTES:
+                continue  # layout annotations etc.
+            n = (int(np.prod([int(d) for d in dims.split(",") if d]))
+                 if dims else 1)
+            ops[kind][1] += n * _DTYPE_BYTES[dt]
     return ops
 
 

@@ -48,7 +48,7 @@ def test_key8b_join_count_end_to_end(rng):
     rk = rng.integers(1, 8000, nR).astype(np.int32)
     sk = rng.integers(1, 8000, nS).astype(np.int32)
     (rhi, rlo), (shi, slo), limbs, ovf = join64.key8b_join_count(
-        jnp.asarray(rk), jnp.asarray(sk), nR, nS)
+        jnp.asarray(rk), jnp.asarray(sk), nR, nS, recover_s=True)
     assert int(ovf) == 0
     assert join64.finish_count64(limbs) == join64.merge_join_count_numpy64(
         rk.astype(np.int64), sk.astype(np.int64))
@@ -143,19 +143,6 @@ def test_fused64_edge_sizes(rng):
     tile = 128
     T = tile * LANES
 
-    def layout(vals64, n):
-        hi, lo = join64.split64(np.sort(vals64))
-        rows = so.padded_rows(max(n, 1), 128, 128)
-        h = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
-            .set(jnp.asarray(hi))
-        l = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
-            .set(jnp.asarray(lo))
-        return h.reshape(rows, LANES), l.reshape(rows, LANES)
-
-    def layout_not(vals64, n):
-        nh, nl = join64.split64(np.sort(vals64)[::-1])
-        return layout_planes(np.invert(nh), np.invert(nl), n)
-
     def layout_planes(hi, lo, n):
         rows = so.padded_rows(max(n, 1), 128, 128)
         h = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
@@ -163,6 +150,13 @@ def test_fused64_edge_sizes(rng):
         l = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32).at[:n]\
             .set(jnp.asarray(lo))
         return h.reshape(rows, LANES), l.reshape(rows, LANES)
+
+    def layout(vals64, n):
+        return layout_planes(*join64.split64(np.sort(vals64)), n)
+
+    def layout_not(vals64, n):
+        nh, nl = join64.split64(np.sort(vals64)[::-1])
+        return layout_planes(np.invert(nh), np.invert(nl), n)
 
     for nR, nS in [(1, 1), (5, 3), (T - 1, 7), (T, T), (T + 1, T - 1),
                    (2 * T + 3, 11)]:
