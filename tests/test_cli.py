@@ -161,3 +161,24 @@ def test_workload_a_runbook_entry(capsys, monkeypatch):
     assert f"Results = {n}" in cap.out
     assert "[RECORD] m-way 8" in cap.err
     assert "scale tier" in cap.err
+
+
+def test_workload_a_runbook_entry_fused(capsys, monkeypatch):
+    """SMJ_SCALE_PHASED=0 routes the scale tier through the fused
+    single-dispatch pipeline (no per-phase sync points): same Results,
+    [RECORD] phase columns zero, total column real."""
+    from avx_sort_merge_joins_tpu import cli
+
+    monkeypatch.setenv("SMJ_SHARDED_GEN_MIN", "1000000")
+    monkeypatch.setenv("SMJ_SCALE_PHASED", "0")
+    n = 2_000_000
+    rc = cli.main(["-a", "m-way", "-n", "8", "-r", str(n), "-s", str(n)])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert f"Results = {n}" in cap.out
+    rec = [l for l in cap.err.splitlines() if l.startswith("[RECORD]")]
+    assert len(rec) == 1
+    cols = rec[0].split()
+    # [RECORD] algo nthreads nR nS run SORT MERGE1 ... total tput
+    assert cols[1:5] == ["m-way", "8", str(n), str(n)]
+    assert float(cols[-2]) > 0  # total usecs is wall clock, not zero
