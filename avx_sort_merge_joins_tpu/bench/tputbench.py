@@ -117,7 +117,11 @@ def run_numa(n_per_chip: int, strategy: str, reps: int) -> int:
         return acc[None]
 
     secs_a = common.time_best(aggregate, x, reps=reps)
-    gb_a = ndev * ndev * rows * 128 * 4 / 1e9  # every chip reads all shards
+    # cross-chip read traffic only: the off == 0 round is a local VMEM
+    # reduce with no ppermute — counting it would inflate the remote-read
+    # figure ~ndev/(ndev-1)x vs the reference's remote-region aggregation
+    # (tputbench.c:665-1171 walks the OTHER regions)
+    gb_a = ndev * (ndev - 1) * rows * 128 * 4 / 1e9
     print(f"[tputbench] AGGREGATION {secs_a*1e6:.0f} usecs "
           f"{gb_a/secs_a:.1f} GB/s aggregate read", file=sys.stderr)
     print(f"{secs*1e6:.0f} {gb/secs:.2f} {secs_a*1e6:.0f} {gb_a/secs_a:.2f}")

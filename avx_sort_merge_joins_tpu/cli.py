@@ -247,7 +247,12 @@ def run_join(args, R, S):
             # clock on a 1-core host (virtual devices serialize) — a
             # phased run on a real TPU slice is the only trustworthy
             # [RECORD] source for multi-chip phase splits.
-            print("[INFO ] exchange path: bulk all_to_all (overlap=True "
+            # flag honesty: -S RING/RANDOM routes the exchange through
+            # scheduled collective_permute rounds, not the bulk all_to_all
+            xpath = ("bulk all_to_all" if args.numastrategy == "NEXT" else
+                     f"{args.numastrategy}-scheduled collective_permute "
+                     "rounds")
+            print(f"[INFO ] exchange path: {xpath} (overlap=True "
                   "measured structurally worse — +1 k-way pass, 7x "
                   "collective ops; PLAN r4 A/B)", file=sys.stderr)
             cnt, overflow, phases = dist_mway.dist_mway_join_phased(

@@ -209,6 +209,13 @@ def _count_kernel(lens_ref, rk_hbm, sk_hbm, out_ref, wa0, wb0, wa1, wb1,
     A segment whose cntR·cntS reaches 2^29 raises the overflow flag in the
     output (checked at close time in float32, conservatively) so callers
     fall back to an exact wide path instead of silently wrapping.
+
+    MAINTENANCE: the window machinery (end-clamped issue(), 2T+spare
+    ping-pong, guarded dead-tile state, dangling-prefetch drain) is
+    intentionally instantiated THREE times — here, `_count_kernel2`
+    (4 streams), `_count_kernel64` (plane pairs) — because the stream
+    count, buffer layout, and cursor direction differ structurally; a
+    fix to any clamp/skip/drain invariant must be applied to all three.
     """
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
@@ -542,6 +549,10 @@ def _count_kernel2(lens_ref, rk_hbm, sk_hbm, out_ref, bufs0, bufs1, insem,
     as :func:`_count_kernel` does.  Double-buffered 2T windows per
     stream (the V2 prefetch medicine), streams indexed 0..3 in one
     (4, WIN, 128) scratch pair.
+
+    MAINTENANCE: window machinery deliberately mirrors `_count_kernel`
+    and `_count_kernel64` (see the note there) — invariant fixes must
+    land in all three.
     """
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
@@ -753,7 +764,11 @@ def _count_kernel64(lens_ref, rhi_hbm, rlo_hbm, shi_hbm, slo_hbm, out_ref,
     planes reverses the (hi, lo) lex order — the plane-pair analog of
     the 32-bit kernel's negated-S trick); the kernel reads S windows
     back-to-front and applies one elementwise ~ per plane, replacing the
-    two 14-stage flip_flat calls per tile."""
+    two 14-stage flip_flat calls per tile.
+
+    MAINTENANCE: window machinery deliberately mirrors `_count_kernel`
+    and `_count_kernel2` (see the note in `_count_kernel`) — invariant
+    fixes must land in all three."""
     from . import bitonic
     from .bitonic import KEY_NEG_INF, KEY_POS_INF, LANES
 

@@ -145,11 +145,13 @@ def arrival_schedule(n_src: int, chunks_per_strip: int, rate: int = 1,
     non-decreasing, as :func:`chunk_gated_merge` requires."""
     if order is None:
         order = list(range(n_src))
+    assert sorted(order) == list(range(n_src)), \
+        "order must be a permutation of range(n_src)"
     pos = {s: i for i, s in enumerate(order)}
     out = np.zeros((n_src, chunks_per_strip), dtype=np.int32)
     for s in range(n_src):
         for j in range(chunks_per_strip):
-            out[s, j] = (j * n_src + pos[s % len(order)]) * rate
+            out[s, j] = (j * n_src + pos[s]) * rate
     return out
 
 
