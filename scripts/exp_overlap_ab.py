@@ -45,12 +45,18 @@ from jax.sharding import NamedSharding  # noqa: E402
 
 BLOCK_ROWS, TILE_ROWS, FANIN = 256, 128, 16
 
-# optimized-HLO collective ops.  XLA lowers a shard_map all_to_all to a
-# TUPLE-result op — "(s32[128]{0}, s32[128]{0}, ...) all-to-all(...)" —
-# so the byte count must sum EVERY leaf shape of the result type, not
-# just the first (found by running this parser against real XLA:CPU
-# optimized HLO; the first-shape version undercounted by ~n_chips x).
-_LINE_RE = re.compile(r"= ([^=]*?)\s*\b(all-to-all|collective-permute)\(")
+# optimized-HLO collective ops.  Parsing realities (all found by running
+# against real XLA:CPU optimized HLO):
+#   * a shard_map all_to_all lowers to a TUPLE-result op —
+#     "(s32[128]{0}, s32[128]{0}, ...) all-to-all(...)" — so the byte
+#     count must sum EVERY leaf shape of the result type, not just the
+#     first (first-shape-only undercounts ~n_chips x);
+#   * long tuple types carry "/*index=5*/" comments whose '=' breaks any
+#     "[^=]*?" result-type span — strip /*...*/ comments per line first;
+#   * async lowerings emit "-start"/"-done" pairs — count the -start.
+_LINE_RE = re.compile(
+    r"= ([^=]*?)\s*\b(all-to-all|collective-permute)(?:-start)?\(")
+_COMMENT_RE = re.compile(r"/\*.*?\*/")
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _DTYPE_BYTES = {"s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
                 "pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2}
@@ -58,7 +64,10 @@ _DTYPE_BYTES = {"s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
 
 def _collective_stats(hlo_text: str):
     ops = {"all-to-all": [0, 0], "collective-permute": [0, 0]}
-    for m in _LINE_RE.finditer(hlo_text):
+    for line in hlo_text.splitlines():
+        m = _LINE_RE.search(_COMMENT_RE.sub("", line))
+        if not m:
+            continue
         restype, kind = m.groups()
         ops[kind][0] += 1
         for dt, dims in _SHAPE_RE.findall(restype):
@@ -118,6 +127,11 @@ def main():
         name = "overlap" if overlap else "bulk"
         compiled = build_and_lower(mesh, n, overlap)
         stats = _collective_stats(compiled.as_text())
+        # fail LOUDLY if the parser stops matching the HLO (e.g. a future
+        # async lowering this regex doesn't know): an exchange pipeline
+        # with zero parsed collectives is a parse bug, not a measurement
+        assert sum(v[0] for v in stats.values()) > 0, \
+            "no collectives parsed from optimized HLO — parser is stale"
         # k-way traversals per element after the exchange:
         #   bulk: one fanin-16 merge level over 8 runs        = 1 pass
         #   overlap: 2 group merges (4 runs each) + final 2-way = 2 passes
