@@ -12,6 +12,7 @@ Prints one JSON line:
   {"metric": ..., "value": N, "unit": "Mtuples/s", "vs_baseline": N}
 
 Env knobs: SMJ_BENCH_NTUPLES (default 128000000), SMJ_BENCH_REPS (3),
+SMJ_BENCH_BURN (2) untimed steady-state reps before the timed loop,
 SMJ_BENCH_SKIP_BASELINE=1 to skip the XLA baseline timing.
 """
 
@@ -69,6 +70,7 @@ def main() -> None:
 
     n = int(os.environ.get("SMJ_BENCH_NTUPLES", 128_000_000))
     reps = int(os.environ.get("SMJ_BENCH_REPS", 3))
+    burn = int(os.environ.get("SMJ_BENCH_BURN", 2))
     skip_base = os.environ.get("SMJ_BENCH_SKIP_BASELINE", "0") == "1"
     total = 2 * n
 
@@ -90,6 +92,18 @@ def main() -> None:
     print(f"[bench] compile+warmup {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     matches = mergejoin.finish_count_fused(stats)
     assert matches == n, f"match count {matches} != |S| = {n}"
+
+    # steady-state burn: the first timed dispatch of a session reads up to
+    # ~1.7x high even after the compile+warm run (tunnel/device ramp —
+    # measured in the round-4 KEY_8B sweep, PLAN.md), so burn a couple of
+    # untimed reps before the loop that produces the recorded number
+    t0 = time.perf_counter()
+    for _ in range(burn):
+        stats = run_async()
+    float(jnp.sum(stats[:1, :1]))
+    if burn:
+        print(f"[bench] burn x{burn} {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
     # queue all reps asynchronously and sync once: the ~30 ms axon-tunnel
     # dispatch+sync round-trip amortizes across reps instead of taxing
