@@ -88,6 +88,28 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
                             tile_rows: int = sort_ops.TILE_ROWS_DEFAULT) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples
+
+    if config.scalar_merge or config.scalar_sort:
+        # --scalarsort/--scalarmerge kernel swap (main.c:727-728): the XLA
+        # baseline is a monolithic lax.sort, so there is no multipass
+        # structure left to preserve — one sort replaces block sort + the
+        # log-halving passes, exactly as in m-way's scalar rows (the
+        # scalar sweep measures the kernel baseline, not the merge
+        # schedule).  Shares m-way's jitted scalar branches.
+        from . import mway as _mway
+
+        def pipeline(_):
+            return _mway._mway_count_device(
+                R.keys, S.keys, nR, nS, _mway.FANIN_DEFAULT, block_rows,
+                tile_rows, config.scalar_sort, config.scalar_merge)
+
+        stats, timings = common.run_phases({"sortmerge": pipeline})
+        if config.scalar_merge:
+            matches = int(stats)
+        else:
+            matches = _mway._finish_or_widen(stats, R, S)
+        return common.make_result(matches, nR, nS, timings)
+
     levels_r = _pair_levels(nR, block_rows)
     levels_s = _pair_levels(nS, block_rows)
 

@@ -75,6 +75,36 @@ def _count1(rks, sks_neg, nR: int, ln: int, tile_rows: int,
                                             tile_rows, s_negated=True)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _sort_xla(k, n: int):
+    return jax.lax.sort((k[:n],), num_keys=1)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _pad2d(ks, n: int, block_rows: int, tile_rows: int):
+    """Ascending sorted column → the fused count kernel's padded (rows,
+    128) layout (+inf tail sentinels) — the scalar-sort bridge, same as
+    m-way's sorted2d (models/mway.py:86-92)."""
+    import jax.numpy as jnp
+
+    from ..ops import sort as sort_ops
+    from ..ops.bitonic import KEY_POS_INF, LANES
+
+    rows = sort_ops.padded_rows(n, block_rows, tile_rows)
+    kf = jnp.full((rows * LANES,), KEY_POS_INF, jnp.int32)
+    return kf.at[:n].set(ks[:n]).reshape(rows, LANES)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _count1_asc(rk2, sk2, nR: int, ln: int, tile_rows: int):
+    return mergejoin.merge_join_count_fused(rk2, sk2, nR, ln, tile_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _count1_xla(rks, sks, nR: int, ln: int):
+    return mergejoin.merge_join_count_xla(rks, sks, nR, ln)
+
+
 def sortmergejoin_mpsm(R: Relation, S: Relation,
                        config: JoinConfig | None = None,
                        nchunks: int = NCHUNKS_DEFAULT,
@@ -88,6 +118,55 @@ def sortmergejoin_mpsm(R: Relation, S: Relation,
     # jit-cache key only: a changed SMJ_*_PREFETCH flag must force a
     # fresh trace (the kernels read the env while tracing)
     _env = cache.prefetch_env_key()
+
+    if config.scalar_merge or config.scalar_sort:
+        # --scalarsort/--scalarmerge kernel swap, PRESERVING mpsm's cost
+        # shape (each S chunk's count re-scans all of sorted R): XLA
+        # sorts replace the Pallas compositions; under --scalarmerge the
+        # per-chunk count is the XLA tag sort, under --scalarsort alone
+        # it stays the fused Pallas kernel (ascending-S mode).  The
+        # reference stubs mpsm entirely, so the scalar foil here is the
+        # engine's own (sortmergejoin_mpsm.c:38-45, main.c:727-728).
+        def sort_phase_scalar(_):
+            rks = _sort_xla(R.keys, nR)
+            schunks = []
+            for c in range(nchunks):
+                lo = c * chunk
+                ln = min(chunk, nS - lo)
+                if ln <= 0:
+                    break
+                schunks.append(_sort_xla(S.keys[lo:lo + ln], ln))
+            return rks, schunks
+
+        def join_phase_scalar(st):
+            rks, schunks = st
+            if config.scalar_merge:
+                return [_count1_xla(rks, sks, nR, int(sks.shape[0]))
+                        for sks in schunks]
+            rk2 = _pad2d(rks, nR, block_rows, tile_rows)
+            return [_count1_asc(rk2,
+                                _pad2d(sks, int(sks.shape[0]), block_rows,
+                                       tile_rows),
+                                nR, int(sks.shape[0]), COUNT_TILE_ROWS)
+                    for sks in schunks]
+
+        stats_list, timings = common.run_phases(
+            {"sort": sort_phase_scalar, "mergejoin": join_phase_scalar})
+        if config.scalar_merge:
+            matches = sum(int(c) for c in stats_list)
+        else:
+            try:
+                matches = sum(mergejoin.finish_count_fused(s)
+                              for s in stats_list)
+            except mergejoin.CountLimbOverflow:
+                import numpy as np
+
+                from ..utils.log import warn
+                warn("count-kernel limb overflow; recounting through the "
+                     "exact wide path")
+                matches = mergejoin.merge_join_count_numpy(
+                    np.asarray(R.keys[:nR]), np.asarray(S.keys[:nS]))
+        return common.make_result(matches, nR, nS, timings)
 
     def sort_phase(_):
         return _mpsm_sort(R.keys, S.keys, nR, nS, nchunks, fanin,

@@ -51,6 +51,15 @@ TEST PLAN (when >1 chip exists):
      push variant must hide >= 80% of the measured all_to_all time.
   5. failure injection: undersized landing strip must trip the overflow
      check (never a silent wrap), mirroring the bucket-overflow tests.
+  6. descriptor-queue pressure: workload-A shape (8 chips x 25+ chunks
+     per strip = 200+ pushes/chip) with window sweep
+     SMJ_REMOTE_WINDOW in {4, 8, 32, total}; every setting must stay
+     exact and the device must never report descriptor exhaustion — the
+     K-outstanding send window (see `_remote_pull_kernel` phase A) is
+     the bounded-refill analog of the reference's half-full rule
+     (avx_multiwaymerge.c:234-242), and ICI drains sends ~50x faster
+     than the VPU merges (ROOFLINE.md), so small windows should cost
+     ~nothing; record the measured knee.
 """
 
 from __future__ import annotations
@@ -249,19 +258,44 @@ def chunk_gated_merge(keys2d, lens, stride_rows: int, chunk_elems: int,
     return merged, wstats[0, :W], wstats[0, W]
 
 
+def push_window() -> int:
+    """In-flight bound on outstanding push descriptors per chip (the
+    SMJ_REMOTE_WINDOW knob).  Unbounded issue exhausts the DMA descriptor
+    queue at workload-A scale (8 chips x 25+ chunks/strip = 200+
+    outstanding remote copies); the reference's own refill rule is
+    bounded (avx_multiwaymerge.c:234-242).  32 in-flight chunks keep one
+    full push round (8 chips) plus deep lookahead active while ICI —
+    ~50x faster than the VPU-bound merge — drains the tail."""
+    return max(1, int(os.environ.get("SMJ_REMOTE_WINDOW", "32")))
+
+
 def _remote_pull_kernel(meta_ref, lens_ref, bucket_hbm, landing_hbm,
                         merged_hbm, wout, fk, wk, wk2, rk_s, insem, outsem,
                         send_sem, recv_sems, *, n_chips: int, cap: int,
-                        chunk_elems: int, tile_rows: int):
+                        chunk_elems: int, tile_rows: int,
+                        window: int | None = None):
     """DARK (SMJ_REMOTE_DMA): the real push+pull pair as ONE Pallas kernel
     per chip — phase A pushes my buckets to every destination chunk-major
-    (the :func:`push_schedule` walk), phase B runs the chunk-gated
-    FIFO-tree merge over my landing strips with ``gate="remote"`` (leaf
-    waits block on the (src, chunk) receive descriptors — the SAME
-    ``_leaf_gate`` arithmetic the emulated tests pin), phase C drains the
-    send semaphore.  All pushes are FULL chunks (slack junk is masked by
-    the receiver's avail counts), so every receive descriptor's byte
-    count is static and identical.
+    (the :func:`push_schedule` walk) under a K-outstanding sliding window
+    (descriptor i waits the send of descriptor i-K before issuing, so at
+    most K remote copies are ever in flight — the bounded-refill analog
+    of the reference's half-full rule, avx_multiwaymerge.c:234-242, and
+    the fix for descriptor-queue exhaustion at workload-A scale); phase B
+    runs the chunk-gated FIFO-tree merge over my landing strips with
+    ``gate="remote"`` (leaf waits block on the (src, chunk) receive
+    descriptors — the SAME ``_leaf_gate`` arithmetic the emulated tests
+    pin); phase C drains the last min(K, total) send waits.  All pushes
+    are FULL chunks (slack junk is masked by the receiver's avail
+    counts), so every descriptor's byte count is static and identical —
+    which is also what makes the windowed wait sound: waiting with a
+    RECONSTRUCTED descriptor for slot i-K unblocks on any completed send
+    of the same byte count, and sends complete in issue order on a
+    single queue.
+
+    Overlap note: phase A now paces at ICI drain rate instead of
+    returning immediately, but ICI moves these bytes ~50x faster than
+    the VPU-bound merge consumes them (ROOFLINE.md), so the serialized
+    prefix costs ~2% — measured properly in TEST PLAN step 6.
 
     ``meta_ref[0]`` = my device index (host-side axis_index — Pallas has
     no collective-axis view); ``lens_ref`` = my RECEIVED counts (the
@@ -279,9 +313,14 @@ def _remote_pull_kernel(meta_ref, lens_ref, bucket_hbm, landing_hbm,
     strip_rows = cap // LANES
     chunk_rows = chunk_elems // LANES
     chunks_per_strip = cap // chunk_elems
+    total = chunks_per_strip * n_chips
+    K = min(window if window is not None else push_window(), total)
 
-    def _push_descr(dst, j):
-        # my bucket-for-dst chunk j  →  dst's landing strip for me
+    def _push_descr(i):
+        # descriptor i = chunk j to the off-th destination of the NEXT
+        # walk: my bucket-for-dst chunk j → dst's landing strip for me
+        j, off = divmod(i, n_chips)
+        dst = jnp.remainder(me + off, n_chips)
         src_row = dst * strip_rows + j * chunk_rows
         dst_row = me * strip_rows + j * chunk_rows
         return pltpu.make_async_remote_copy(
@@ -291,12 +330,13 @@ def _remote_pull_kernel(meta_ref, lens_ref, bucket_hbm, landing_hbm,
             device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL)
 
     # phase A: chunk-major push walk (round r sends chunk r to every
-    # destination in NEXT order) — earliest chunks of every strip land
-    # first, so the merge's warmup leaves unblock after one round
-    for j in range(chunks_per_strip):
-        for off in range(n_chips):
-            dst = jnp.remainder(me + off, n_chips)
-            _push_descr(dst, j).start()
+    # destination in NEXT order, so earliest chunks of every strip land
+    # first and the merge's warmup leaves unblock after one round),
+    # K-outstanding: issue i only after send i-K completed
+    for i in range(total):
+        if i >= K:
+            _push_descr(i - K).wait_send()
+        _push_descr(i).start()
 
     # phase B: the chunk-gated tree merge over the landing strips
     mw._mwaymerge_kernel(
@@ -306,11 +346,9 @@ def _remote_pull_kernel(meta_ref, lens_ref, bucket_hbm, landing_hbm,
         keys_only=True, uniform=False, gate="remote",
         chunk_elems=chunk_elems, max_chunks=chunks_per_strip)
 
-    # phase C: drain the send semaphore (one wait per issued descriptor)
-    for j in range(chunks_per_strip):
-        for off in range(n_chips):
-            dst = jnp.remainder(me + off, n_chips)
-            _push_descr(dst, j).wait_send()
+    # phase C: drain the still-outstanding tail of the send window
+    for i in range(max(0, total - K), total):
+        _push_descr(i).wait_send()
 
 
 def remote_pull_exchange_merge(bucket_flat, recv_counts, me, n_chips: int,

@@ -97,11 +97,11 @@ def main() -> None:
     # ~1.7x high even after the compile+warm run (tunnel/device ramp —
     # measured in the round-4 KEY_8B sweep, PLAN.md), so burn a couple of
     # untimed reps before the loop that produces the recorded number
-    t0 = time.perf_counter()
-    for _ in range(burn):
-        stats = run_async()
-    float(jnp.sum(stats[:1, :1]))
     if burn:
+        t0 = time.perf_counter()
+        for _ in range(burn):
+            stats = run_async()
+        float(jnp.sum(stats[:1, :1]))
         print(f"[bench] burn x{burn} {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
 
