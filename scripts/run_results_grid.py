@@ -288,15 +288,18 @@ def _model_phases(algo: str, R, S, nchunks: int = 1) -> dict:
     source (the timed single-dispatch number is)."""
     if algo == "m-way":
         from avx_sort_merge_joins_tpu.models.mway import \
-            sortmergejoin_multiway
-        res = sortmergejoin_multiway(R, S)
+            sortmergejoin_multiway as model
+        kw = {}
     elif algo == "m-pass":
         from avx_sort_merge_joins_tpu.models.mpass import \
-            sortmergejoin_multipass
-        res = sortmergejoin_multipass(R, S)
+            sortmergejoin_multipass as model
+        kw = {}
     else:
-        from avx_sort_merge_joins_tpu.models.mpsm import sortmergejoin_mpsm
-        res = sortmergejoin_mpsm(R, S, nchunks=nchunks)
+        from avx_sort_merge_joins_tpu.models.mpsm import \
+            sortmergejoin_mpsm as model
+        kw = {"nchunks": nchunks}
+    model(R, S, **kw)  # compile + warm (phased jits are fresh programs)
+    res = model(R, S, **kw)
     return res.phases
 
 
