@@ -11,11 +11,15 @@ pipeline is:
   phase "merge" — log2(#runs) pairwise streaming merge passes
                   (= mpass_fullmultipassmerge_phase's log-halving loop,
                   sortmergejoin_multipass.c:621-708),
-  phase "join"  — tag-merge rank-reduction match count
+  phase "join"  — fused zero-write streaming count
                   (= scalar merge_join, joincommon.c:239-312).
 
-R is sorted ascending and S descending so the join-phase tag merges consume
-an (asc, desc) bitonic pair directly.
+Count joins run KEYS-ONLY (the payloads a tuple-carrying sort would move
+are never consumed by the count phase — m-way and mpsm made the same
+call), with S sorted as NEGATED keys ascending so the fused count kernel
+reads S windows back-to-front with one elementwise negate instead of a
+14-stage flip per tile.  The tag-merge rank-reduction count
+(`mergejoin.merge_join_count`) remains the tested alternative kernel.
 """
 
 from __future__ import annotations
@@ -51,10 +55,12 @@ def _block_phase(k, p, n: int, block_rows: int, tile_rows: int, flip: bool):
     k2, p2 = sort_ops.prepare(k, p, n, block_rows, tile_rows, flip=flip)
     nblocks = max(1, sort_ops.cdiv(n, block_rows * sort_ops.LANES))
     sort_rows = nblocks * block_rows
-    ks, ps = sort_ops.sort_blocks(k2[:sort_rows], p2[:sort_rows], block_rows,
-                                  alternating=nblocks > 1, flip=flip)
+    ks, ps = sort_ops.sort_blocks(
+        k2[:sort_rows], None if p2 is None else p2[:sort_rows], block_rows,
+        alternating=nblocks > 1, flip=flip)
     ks = jnp.concatenate([ks, k2[sort_rows:]], axis=0)
-    ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
+    if p2 is not None:
+        ps = jnp.concatenate([ps, p2[sort_rows:]], axis=0)
     return ks, ps
 
 
@@ -76,10 +82,13 @@ def _jit_merge_pass_level(n: int, level, tile_rows: int, flip: bool,
 
 @functools.lru_cache(maxsize=32)
 def _jit_count(nR: int, nS: int, tile_rows: int, env: tuple = ()):
-    def count(rk2, sk2):
-        return mergejoin.merge_join_count(
-            rk2.reshape(-1), sk2.reshape(-1), nR, nS, tile_rows)
-    return jax.jit(count)
+    """Fused zero-write count over (R asc, S negated-asc) — the same
+    kernel/layout contract as m-way's count phase (the tag-merge
+    rank-reduction kernel `merge_join_count` remains the tested
+    alternative/oracle path)."""
+    return jax.jit(functools.partial(
+        mergejoin.merge_join_count_fused, nR=nR, nS=nS,
+        tile_rows=tile_rows, s_negated=True))
 
 
 def sortmergejoin_multipass(R: Relation, S: Relation,
@@ -119,51 +128,60 @@ def sortmergejoin_multipass(R: Relation, S: Relation,
     # barrier-separated cycles
     _env = cache.prefetch_env_key()
 
+    # Count joins are KEYS-ONLY end to end, like m-way's and mpsm's count
+    # paths (the payloads the old pair path sorted were discarded at the
+    # join phase — pure traffic).  S runs through the multipass
+    # composition as NEGATED keys ascending, so the fused zero-write count
+    # kernel consumes (R asc, S neg-asc) directly (m-way's negated-S
+    # trick, PLAN r3); the multipass STRUCTURE — block sort + log-halving
+    # pairwise passes, sortmergejoin_multipass.c:621-708 — is unchanged.
+    from . import mway as _mway
+
     def sort_phase(_):
-        rks, rps = _block_phase(R.keys, R.payloads, nR, block_rows,
-                                tile_rows, False)
-        sks, sps = _block_phase(S.keys, S.payloads, nS, block_rows,
-                                tile_rows, True)
-        return rks, rps, sks, sps
+        rks, _ = _block_phase(R.keys, None, nR, block_rows, tile_rows,
+                              False)
+        sks, _ = _block_phase(jnp.negative(S.keys[:nS]), None, nS,
+                              block_rows, tile_rows, False)
+        return rks, sks
 
     def merge1_phase(st):
-        rks, rps, sks, sps = st
+        rks, sks = st
         if levels_r:
-            rks, rps = _jit_merge_pass_level(
-                nR, levels_r[0], tile_rows, False, _env)(rks, rps)
+            rks, _ = _jit_merge_pass_level(
+                nR, levels_r[0], tile_rows, False, _env)(rks, None)
         if levels_s:
-            sks, sps = _jit_merge_pass_level(
-                nS, levels_s[0], tile_rows, True, _env)(sks, sps)
-        return rks, rps, sks, sps
+            sks, _ = _jit_merge_pass_level(
+                nS, levels_s[0], tile_rows, False, _env)(sks, None)
+        return rks, sks
 
     def mergerest_phase(st):
-        rks, rps, sks, sps = st
+        rks, sks = st
         for level in levels_r[1:]:
-            rks, rps = _jit_merge_pass_level(
-                nR, level, tile_rows, False, _env)(rks, rps)
+            rks, _ = _jit_merge_pass_level(
+                nR, level, tile_rows, False, _env)(rks, None)
         for level in levels_s[1:]:
-            sks, sps = _jit_merge_pass_level(
-                nS, level, tile_rows, True, _env)(sks, sps)
-        return rks, rps, sks, sps
+            sks, _ = _jit_merge_pass_level(
+                nS, level, tile_rows, False, _env)(sks, None)
+        return rks, sks
 
-    count = _jit_count(nR, nS, tile_rows, _env)
+    count = _jit_count(nR, nS, _mway.COUNT_TILE_ROWS, _env)
 
     def join_phase(st):
-        rks, rps, sks, sps = st
+        rks, sks = st
         return count(rks, sks)
 
     stats, timings = common.run_phases({"sort": sort_phase,
                                         "merge1": merge1_phase,
                                         "mergerest": mergerest_phase,
                                         "mergejoin": join_phase})
-    matches = mergejoin.finish_count(stats, tile_rows)
+    matches = _mway._finish_or_widen(stats, R, S)
     result = common.make_result(matches, nR, nS, timings)
     nt = nR + nS
     result.bytes_moved = {
-        "sort": 2 * 8 * nt,  # key+payload columns r+w
-        "merge1": 2 * 8 * nt if (levels_r or levels_s) else 0,
-        "mergerest": 2 * 8 * (nR * max(0, len(levels_r) - 1) +
+        "sort": 2 * 4 * nt,  # keys-only columns r+w
+        "merge1": 2 * 4 * nt if (levels_r or levels_s) else 0,
+        "mergerest": 2 * 4 * (nR * max(0, len(levels_r) - 1) +
                               nS * max(0, len(levels_s) - 1)),
-        "mergejoin": 2 * 8 * nt,  # two tag merges, read+write
+        "mergejoin": 4 * nt,  # zero-write streaming count
     }
     return result

@@ -435,6 +435,8 @@ def prepare(keys, payloads, n: int, block_rows: int = BLOCK_ROWS_DEFAULT,
     sent = KEY_NEG_INF if last_desc else KEY_POS_INF
     cap = rows * LANES
     k = jnp.full((cap,), sent, jnp.int32).at[:n].set(keys[:n])
+    if payloads is None:  # keys-only layout (halved traffic downstream)
+        return k.reshape(rows, LANES), None
     p = jnp.full((cap,), sent, jnp.int32).at[:n].set(payloads[:n])
     return k.reshape(rows, LANES), p.reshape(rows, LANES)
 

@@ -142,34 +142,35 @@ def _mpass_fn(nR: int, nS: int, block_rows: int, tile_rows: int):
     """Single-dispatch end-to-end m-pass count pipeline (the model's
     phased form pays ~25 dispatch syncs at 128M; this is the number a
     fused deployment would see — phase columns come from one phased
-    model run recorded separately)."""
+    model run recorded separately).  Keys-only + negated-S + fused count,
+    matching the model (models/mpass.py r5)."""
     import jax
+    import jax.numpy as jnp
 
-    from avx_sort_merge_joins_tpu.models import mpass
+    from avx_sort_merge_joins_tpu.models import mpass, mway
     from avx_sort_merge_joins_tpu.ops import mergejoin
 
     levels_r = mpass._pair_levels(nR, block_rows)
     levels_s = mpass._pair_levels(nS, block_rows)
 
-    def impl(rk, rp, sk, sp):
-        rks, rps = mpass._block_phase(rk, rp, nR, block_rows, tile_rows,
-                                      False)
-        sks, sps = mpass._block_phase(sk, sp, nS, block_rows, tile_rows,
-                                      True)
+    def impl(rk, sk):
+        rks, _ = mpass._block_phase(rk, None, nR, block_rows, tile_rows,
+                                    False)
+        sks, _ = mpass._block_phase(jnp.negative(sk[:nS]), None, nS,
+                                    block_rows, tile_rows, False)
         for level in levels_r:
-            rks, rps = mpass._merge_pass_level(rks, rps, nR, level,
-                                               tile_rows, False)
+            rks, _ = mpass._merge_pass_level(rks, None, nR, level,
+                                             tile_rows, False)
         for level in levels_s:
-            sks, sps = mpass._merge_pass_level(sks, sps, nS, level,
-                                               tile_rows, True)
-        return mergejoin.merge_join_count(
-            rks.reshape(-1), sks.reshape(-1), nR, nS, tile_rows)
+            sks, _ = mpass._merge_pass_level(sks, None, nS, level,
+                                             tile_rows, False)
+        return mergejoin.merge_join_count_fused(
+            rks, sks, nR, nS, mway.COUNT_TILE_ROWS, s_negated=True)
 
     return jax.jit(impl)
 
 
 def _mpass_thunks(R, S, nR, nS, scalar: bool):
-    from avx_sort_merge_joins_tpu.models import mway
     from avx_sort_merge_joins_tpu.ops import mergejoin
     from avx_sort_merge_joins_tpu.ops import sort as sort_ops
 
@@ -179,10 +180,10 @@ def _mpass_thunks(R, S, nR, nS, scalar: bool):
     fn = _mpass_fn(nR, nS, block, tile)
 
     def run():
-        return fn(R.keys, R.payloads, S.keys, S.payloads)
+        return fn(R.keys, S.keys)
 
     def finish(out):
-        return mergejoin.finish_count(out, tile)
+        return mergejoin.finish_count_fused(out)
 
     return run, finish
 
