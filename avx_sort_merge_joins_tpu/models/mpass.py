@@ -34,6 +34,12 @@ from ..ops import mergejoin, sort as sort_ops
 from ..utils import cache
 from . import common
 
+# Keys-only block default (r5 sweep, scripts/exp_mpass_block.py, 16M v5e:
+# block 128/256/512 -> 425.4/434.9/449.3 Mt/s).  PLAN r2's (128,128) pin
+# was measured on the superseded PAIR-carrying path; halved per-substage
+# traffic moves the optimum to bigger blocks, as it did for m-way.
+BLOCK_ROWS_MPASS = 512
+
 
 def _pair_levels(n: int, block_rows: int):
     """Static (nruns, span) schedule of the log2 pairwise merge passes —
@@ -93,7 +99,7 @@ def _jit_count(nR: int, nS: int, tile_rows: int, env: tuple = ()):
 
 def sortmergejoin_multipass(R: Relation, S: Relation,
                             config: JoinConfig | None = None,
-                            block_rows: int = sort_ops.BLOCK_ROWS_DEFAULT,
+                            block_rows: int = BLOCK_ROWS_MPASS,
                             tile_rows: int = sort_ops.TILE_ROWS_DEFAULT) -> JoinResult:
     config = config or JoinConfig()
     nR, nS = R.num_tuples, S.num_tuples

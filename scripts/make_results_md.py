@@ -104,6 +104,15 @@ def render() -> str:
       "re-scans all of sorted R — MPSM's scan-all-runs cost shape; the"
       " reference stubs\nmpsm, so these rows are the only quantitative"
       " record of the trade).\n")
+    w("m-pass rows are the r5 KEYS-ONLY redesign (block 512 + negated-S"
+      " fused count —\nthe multipass structure is unchanged; the payloads"
+      " the old pair path sorted were\ndiscarded at the join phase)."
+      "  The superseded pair-carrying path measured\n174.1 Mt/s at 16M /"
+      " 174.9 at 128M (earlier rows in `results_grid.jsonl` — the\n"
+      "~2.5× gap is the payload tax: doubled per-substage VMEM traffic +"
+      " the tag-merge\ncount kernel); block sweep:"
+      " `scripts/exp_mpass_block.py` (16M: 128/256/512 →\n"
+      "425.4/434.9/449.3 Mt/s).\n")
 
     # --------------------------------------------------------------- key8b
     w("## 2. KEY_8B end-to-end join (8-byte keys)\n")

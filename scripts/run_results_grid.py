@@ -176,7 +176,9 @@ def _mpass_thunks(R, S, nR, nS, scalar: bool):
 
     if scalar:
         return _mway_thunks(R, S, nR, nS, True)  # same monolithic baseline
-    block, tile = sort_ops.BLOCK_ROWS_DEFAULT, sort_ops.TILE_ROWS_DEFAULT
+    from avx_sort_merge_joins_tpu.models import mpass as _mpass_mod
+
+    block, tile = _mpass_mod.BLOCK_ROWS_MPASS, sort_ops.TILE_ROWS_DEFAULT
     fn = _mpass_fn(nR, nS, block, tile)
 
     def run():
