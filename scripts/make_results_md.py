@@ -112,7 +112,8 @@ def render() -> str:
       "~2.5× gap is the payload tax: doubled per-substage VMEM traffic +"
       " the tag-merge\ncount kernel); block sweep:"
       " `scripts/exp_mpass_block.py` (16M: 128/256/512 →\n"
-      "425.4/434.9/449.3 Mt/s).\n")
+      "425.4/434.9/449.3 Mt/s; 128M: 355.6/379.7/393.6 — block 512"
+      " adopted).\n")
 
     # --------------------------------------------------------------- key8b
     w("## 2. KEY_8B end-to-end join (8-byte keys)\n")
