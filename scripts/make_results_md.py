@@ -205,8 +205,9 @@ def render() -> str:
       " leaf prefetch | 34.5 | 464 Mk/s |")
     w("| multiway_sort keys-only | 128M | block 512, tile 256, fanin 16,"
       " leaf prefetch | 296.5 | 432 Mk/s |")
-    w("| pairwise (m-pass) sort, pairs | 16M | block 128, tile 128 | 74.7"
-      " | 214 Mp/s |")
+    w("| pairwise (m-pass) sort, pairs | 16M | block 128, tile 128"
+      " (superseded pair path — r5 keys-only m-pass uses block 512, §1) |"
+      " 74.7 | 214 Mp/s |")
     w("| sort64 (KEY_8B planes) | 64M | pair networks, 2 planes | — |"
       " see §2 phase split |")
     w("")
