@@ -204,7 +204,8 @@ def render() -> str:
     w("| multiway_sort keys-only | 16M | block 512, tile 256, fanin 16,"
       " leaf prefetch | 34.5 | 464 Mk/s |")
     w("| multiway_sort keys-only | 128M | block 512, tile 256, fanin 16,"
-      " leaf prefetch | 296.5 | 432 Mk/s |")
+      " leaf prefetch | 296.5 | 432 Mk/s (re-measured r5 same command:"
+      " 295.8 ms) |")
     w("| pairwise (m-pass) sort, pairs | 16M | block 128, tile 128"
       " (superseded pair path — r5 keys-only m-pass uses block 512, §1) |"
       " 74.7 | 214 Mp/s |")
