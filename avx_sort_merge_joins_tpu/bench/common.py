@@ -16,15 +16,26 @@ def sync(x):
     return x
 
 
-def time_best(fn, *args, reps: int = 3) -> float:
-    """Best-of-reps wall seconds with a warmup (compile) call."""
+def time_best(fn, *args, reps: int = 3, burn: int = 2) -> float:
+    """Steady-state seconds/rep: one warmup (compile) call, ``burn``
+    untimed steady-state reps (the first timed dispatch of a session
+    reads up to ~1.7× high even after the warmup — the r4 measurement
+    lesson, PLAN.md), then ``reps`` queued asynchronously and synced
+    ONCE, so the ~30 ms axon dispatch+sync round-trip amortizes across
+    reps instead of taxing each one (bench.py's discipline; the old
+    per-rep-sync best-of-N overstated sub-100 ms benches by the tunnel
+    latency)."""
     sync(fn(*args))
-    best = float("inf")
+    out = None
+    for _ in range(burn):
+        out = fn(*args)
+    if burn:
+        sync(out)
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def check_sorted(keys: np.ndarray) -> bool:

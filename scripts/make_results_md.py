@@ -202,7 +202,8 @@ def render() -> str:
     w("| op | n | config | ms | rate |")
     w("|---|---|---|---|---|")
     w("| multiway_sort keys-only | 16M | block 512, tile 256, fanin 16,"
-      " leaf prefetch | 34.5 | 464 Mk/s |")
+      " leaf prefetch | 34.5 | 464 Mk/s (re-measured r5 same command:"
+      " 37.2 ms after the bench-harness steady-state fix) |")
     w("| multiway_sort keys-only | 128M | block 512, tile 256, fanin 16,"
       " leaf prefetch | 296.5 | 432 Mk/s (re-measured r5 same command:"
       " 295.8 ms) |")
